@@ -25,7 +25,11 @@ LIMB_MASK = (1 << LIMB_BITS) - 1
 
 
 def num_limbs(modulus: int) -> int:
-    return -(-modulus.bit_length() // LIMB_BITS)
+    """Limbs per element. One more than strictly needed so that the Montgomery
+    radix R = 2^(16 L) satisfies R >= 2^16 * modulus — the headroom that makes
+    the lazy (redundant-limb) arithmetic in kzg_tpu.fields.mont carry-safe
+    without per-op canonicalization."""
+    return (modulus.bit_length() + 31) // LIMB_BITS
 
 
 def to_limbs(value: int, n: int) -> tuple:
@@ -47,7 +51,7 @@ class FieldParams:
     mont_r: int          # R = 2^(16*n_limbs) mod modulus
     mont_r2: int         # R^2 mod modulus
     mont_r3: int         # R^3 mod modulus
-    n0inv: int           # -modulus^-1 mod 2^16
+    pprime: int          # -modulus^-1 mod 2^(16*n_limbs)  (full width)
     limbs: tuple         # modulus as limbs
     r2_limbs: tuple
     one_limbs: tuple     # R mod modulus as limbs (Montgomery form of 1)
@@ -55,13 +59,14 @@ class FieldParams:
     @staticmethod
     def make(modulus: int) -> "FieldParams":
         n = num_limbs(modulus)
-        R = (1 << (LIMB_BITS * n)) % modulus
+        Rfull = 1 << (LIMB_BITS * n)
+        R = Rfull % modulus
         r2 = R * R % modulus
         r3 = r2 * R % modulus
-        n0inv = (-pow(modulus, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+        pprime = (-pow(modulus, -1, Rfull)) % Rfull
         return FieldParams(
             modulus=modulus, n_limbs=n, mont_r=R, mont_r2=r2, mont_r3=r3,
-            n0inv=n0inv, limbs=to_limbs(modulus, n),
+            pprime=pprime, limbs=to_limbs(modulus, n),
             r2_limbs=to_limbs(r2, n), one_limbs=to_limbs(R, n),
         )
 

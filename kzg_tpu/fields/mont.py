@@ -1,0 +1,355 @@
+"""Batched Montgomery big-field arithmetic designed for the TPU MXU/VPU.
+
+Replaces the reference's MIRACL `BIG`/`FP` (56/58-bit limbs, 64-bit scalar
+mul) and NTL `ZZ_p` arithmetic (reference src/util.cpp:31-76 bridges the two)
+with a single flat-dataflow representation:
+
+  * a field element batch is ``uint32[L, *batch]`` — **limb-major**: the batch
+    axes are minor so they land on the TPU's 128-lane vector dimension, and
+    every limb-level operation is a full-width VPU op over the batch;
+
+  * limbs are little-endian base-2^16 in the Montgomery domain
+    (R = 2^(16 L)); the limb count is padded so R >= 2^16 * p (see
+    curves.params.num_limbs), which buys headroom for *lazy* arithmetic —
+    limbs may exceed 16 bits and values may exceed p between operations;
+    nothing canonicalizes until a boundary (equality, digit extraction,
+    serialization) calls :meth:`canon`;
+
+  * multiplication is flat: an 8-bit-limb shift-accumulate product (no
+    sequential recurrence — the Montgomery reduction uses its parallel
+    full-width form m = C * p' mod R, p' = -p^-1 mod R precomputed), where
+    the two multiplies by the *constants* p' and p are float32 matmuls
+    (N8 x N8) @ (N8, batch) against fixed Toeplitz band matrices — exact
+    (every product/accumulation < 2^24) and MXU-native.
+
+Value-bound discipline (see analysis in comments):
+  * mul inputs: value < 64 p, limbs < 2^20; outputs: value < 1.1 p,
+    limbs <= 2^16.01 ("fresh");
+  * add is lazy (1 op), bounds add;  sub(a,b) requires value(b) <= 16 p and
+    emits exact 16-bit limbs with value <= value(a) + 16 p.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves.params import FieldParams, LIMB_BITS, LIMB_MASK
+
+MASK16 = jnp.uint32(LIMB_MASK)
+MASK8 = jnp.uint32(0xFF)
+
+
+def ints_to_limbs(values, n_limbs: int) -> np.ndarray:
+    """Host-side: iterable of python ints -> uint32[n_limbs, len] (limb-major)."""
+    out = np.zeros((n_limbs, len(values)), dtype=np.uint32)
+    for i, v in enumerate(values):
+        v = int(v)
+        for j in range(n_limbs):
+            out[j, i] = (v >> (LIMB_BITS * j)) & LIMB_MASK
+    return out
+
+
+def limbs_to_ints(arr):
+    """Host-side: uint32[n_limbs, *batch] -> nested lists of python ints."""
+    a = np.asarray(arr, dtype=np.uint64)
+    L = a.shape[0]
+    flat = a.reshape(L, -1)
+    vals = [sum(int(flat[j, i]) << (LIMB_BITS * j) for j in range(L))
+            for i in range(flat.shape[1])]
+    if a.ndim == 1:
+        return vals[0]
+    out = np.empty(len(vals), dtype=object)
+    out[:] = vals
+    return out.reshape(a.shape[1:]).tolist()
+
+
+def _to_limbs8(m: int, n: int) -> np.ndarray:
+    return np.array([(m >> (8 * i)) & 0xFF for i in range(n)], dtype=np.float32)
+
+
+class Field:
+    """Arithmetic mod a fixed prime over uint32[L, *batch] limb tensors.
+
+    All methods are pure jnp functions of their array arguments (constants are
+    closed-over numpy arrays), usable under jit / scan / shard_map.
+    """
+
+    def __init__(self, fp: FieldParams):
+        self.params = fp
+        self.L = L = fp.n_limbs
+        self.N8 = N8 = 2 * L
+        self.modulus = fp.modulus
+        self.p_limbs = np.array(fp.limbs, dtype=np.uint32)
+        self.r2_limbs = np.array(fp.r2_limbs, dtype=np.uint32)
+        self.one_mont = np.array(fp.one_limbs, dtype=np.uint32)   # R mod p
+        # constant Toeplitz band matrices (float32, 8-bit limb entries),
+        # shaped (out_limb, in_limb) for (K, N8) @ (N8, batch) matmuls
+        pp8 = _to_limbs8(fp.pprime, N8)
+        p8 = _to_limbs8(fp.modulus, N8)
+        m_lo = np.zeros((N8, N8), dtype=np.float32)      # m = (C*p') mod R
+        m_p = np.zeros((2 * N8, N8), dtype=np.float32)   # m * p
+        for j in range(N8):                               # in limb j
+            for k in range(j, N8):                        # out limb k
+                m_lo[k, j] = pp8[k - j]
+            for k in range(j, j + N8):
+                m_p[k, j] = p8[k - j]
+        self.m_lo = m_lo
+        self.m_p = m_p
+        c16 = 16 * fp.modulus
+        assert c16 >> (LIMB_BITS * L) == 0, "headroom violated"
+        self.p16_limbs = np.array(
+            [(c16 >> (LIMB_BITS * i)) & LIMB_MASK for i in range(L)],
+            dtype=np.uint32)
+
+    # ------------------------------------------------------------------
+    # shape plumbing
+    # ------------------------------------------------------------------
+    def _bc(self, a, b):
+        """Broadcast two (L, *batch) arrays over their batch dims."""
+        if a.shape == b.shape:
+            return a, b
+        nd = max(a.ndim, b.ndim)
+        a = a.reshape(a.shape[:1] + (1,) * (nd - a.ndim) + a.shape[1:])
+        b = b.reshape(b.shape[:1] + (1,) * (nd - b.ndim) + b.shape[1:])
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+        return jnp.broadcast_to(a, shape), jnp.broadcast_to(b, shape)
+
+    def _const(self, limbs, batch_ndim):
+        """(L,) numpy constant -> (L, 1, 1, ...) for broadcasting."""
+        return jnp.asarray(limbs).reshape((-1,) + (1,) * batch_ndim)
+
+    # ------------------------------------------------------------------
+    # encode / decode (host side)
+    # ------------------------------------------------------------------
+    def encode(self, values) -> jnp.ndarray:
+        """Python ints -> Montgomery-domain limb tensor (L, n)."""
+        raw = ints_to_limbs([int(v) % self.modulus for v in values], self.L)
+        return self.to_mont(jnp.asarray(raw))
+
+    def decode(self, arr):
+        """Montgomery-domain limb tensor -> python ints (canonical)."""
+        return limbs_to_ints(np.asarray(jax.device_get(
+            self.canon(self.from_mont(arr)))))
+
+    def zeros(self, batch_shape=()) -> jnp.ndarray:
+        return jnp.zeros((self.L, *batch_shape), dtype=jnp.uint32)
+
+    def ones(self, batch_shape=()) -> jnp.ndarray:
+        return jnp.broadcast_to(
+            self._const(self.one_mont, len(batch_shape)),
+            (self.L, *batch_shape)).astype(jnp.uint32)
+
+    def const(self, value: int, batch_shape=()) -> jnp.ndarray:
+        """Montgomery-form constant from a python int."""
+        v = int(value) % self.modulus
+        v = v * self.params.mont_r % self.modulus
+        raw = np.array(
+            [(v >> (LIMB_BITS * i)) & LIMB_MASK for i in range(self.L)],
+            dtype=np.uint32)
+        return jnp.broadcast_to(self._const(raw, len(batch_shape)),
+                                (self.L, *batch_shape))
+
+    # ------------------------------------------------------------------
+    # limb plumbing
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _pass8(x):
+        """One local 8-bit carry pass along axis 0; drops top overflow."""
+        c = x >> 8
+        return (x & MASK8) + jnp.concatenate(
+            [jnp.zeros_like(c[:1]), c[:-1]], axis=0)
+
+    def _to8(self, x):
+        """(L, ...) 16-bit-ish limbs -> (2L, ...) 8-bit-ish limbs."""
+        lo = x & MASK8
+        hi = x >> 8
+        return jnp.stack([lo, hi], axis=1).reshape(self.N8, *x.shape[1:])
+
+    def _from8(self, x8):
+        """(2L, ...) 8-bit limbs (<= ~2^9) -> (L, ...) 16-bit-ish limbs."""
+        y = x8.reshape(self.L, 2, *x8.shape[1:])
+        return y[:, 0] + (y[:, 1] << 8)
+
+    def _norm16(self, x):
+        """Exact carry propagation to <= 0xFFFF limbs (value must be < R)."""
+        out = []
+        c = None
+        for i in range(self.L):
+            v = x[i] if c is None else x[i] + c
+            out.append(v & MASK16)
+            c = v >> LIMB_BITS
+        return jnp.stack(out, axis=0)
+
+    def _sub_chain(self, a_limbs, b_limbs):
+        """Exact (a - b) over canonical 16-bit limb lists via one's-complement
+        addition. Returns (diff list, no_borrow)."""
+        out = []
+        c = jnp.uint32(1)
+        for ai, bi in zip(a_limbs, b_limbs):
+            v = ai + ((~bi) & MASK16) + c
+            out.append(v & MASK16)
+            c = v >> LIMB_BITS
+        return out, c
+
+    # ------------------------------------------------------------------
+    # core ops
+    # ------------------------------------------------------------------
+    def add(self, a, b):
+        a, b = self._bc(a, b)
+        return a + b
+
+    def sub(self, a, b):
+        """a - b (+16p to stay non-negative). Requires value(b) <= 16p and
+        value(a) + 16p < R — true for fresh mul outputs and short sums."""
+        a, b = self._bc(a, b)
+        t = self._norm16(a + self._const(self.p16_limbs, a.ndim - 1))
+        bn = self._norm16(b)
+        d, _ = self._sub_chain([t[i] for i in range(self.L)],
+                               [bn[i] for i in range(self.L)])
+        return jnp.stack(d, axis=0)
+
+    def neg(self, a):
+        return self.sub(jnp.zeros_like(a), a)
+
+    def mul(self, a, b):
+        """Montgomery product a*b*R^-1 (lazy bounds; see module docstring)."""
+        a, b = self._bc(a, b)
+        a8 = self._pass8(self._to8(a))       # limbs <= 271
+        b8 = self._pass8(self._to8(b))
+        N8 = self.N8
+        batch = a.shape[1:]
+        # shift-accumulate product: C[k] = sum_{i+j=k} a8[i] b8[j]  (<= 2^21.9)
+        C = jnp.zeros((2 * N8, *batch), dtype=jnp.uint32)
+        for i in range(N8):
+            C = C.at[i:i + N8].add(a8[i] * b8)
+        for _ in range(3):
+            C = self._pass8(C)                            # limbs <= 256
+        # m = (C mod R) * p' mod R  — constant matmul, f32-exact (< 2^22)
+        flat = (-1,) if batch else (1,)
+        Cf = C[:N8].astype(jnp.float32).reshape(N8, *flat)
+        m = jnp.dot(jnp.asarray(self.m_lo), Cf,
+                    preferred_element_type=jnp.float32)
+        m = m.astype(jnp.uint32).reshape(N8, *batch)
+        for _ in range(3):
+            m = self._pass8(m)                            # limbs <= 256, mod R
+        mp = jnp.dot(jnp.asarray(self.m_p),
+                     m.astype(jnp.float32).reshape(N8, *flat),
+                     preferred_element_type=jnp.float32)
+        D = C + mp.astype(jnp.uint32).reshape(2 * N8, *batch)
+        for _ in range(3):
+            D = self._pass8(D)                            # limbs <= 256
+        low, high = D[:N8], D[N8:]
+        # low half is a multiple of R and < 2R -> exactly 0 or R
+        carry = jnp.any(low != 0, axis=0).astype(jnp.uint32)
+        high = high.at[0].add(carry)
+        return self._from8(high)                          # value < 1.1 p
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def mul_small(self, a, k: int):
+        """Multiply by a small non-negative int (lazy; value scales by k,
+        keep k <= 16 to respect limb bounds)."""
+        return a * jnp.uint32(k)
+
+    # ------------------------------------------------------------------
+    # canonicalization / domain conversion
+    # ------------------------------------------------------------------
+    def canon(self, a, max_subs: int = 2):
+        """Exact canonical form (< p, 16-bit limbs). Value must be
+        < max_subs * p and limbs < 2^26."""
+        out = [a[i] for i in range(self.L)]
+        c = None
+        norm = []
+        for x in out:
+            v = x if c is None else x + c
+            norm.append(v & MASK16)
+            c = v >> LIMB_BITS
+        out = norm
+        p_consts = [jnp.uint32(l) for l in self.p_limbs]
+        for _ in range(max_subs):
+            d, no_borrow = self._sub_chain(out, p_consts)
+            take = no_borrow != 0
+            out = [jnp.where(take, di, oi) for di, oi in zip(d, out)]
+        return jnp.stack(out, axis=0)
+
+    def to_mont(self, raw):
+        r2 = self._const(self.r2_limbs, raw.ndim - 1)
+        return self.mul(raw, r2)
+
+    def from_mont(self, a):
+        one = jnp.zeros_like(a).at[0].set(1)
+        return self.mul(a, one)
+
+    # ------------------------------------------------------------------
+    # predicates (exact — x -> x R^-1 mod p is a bijection)
+    # ------------------------------------------------------------------
+    def is_zero(self, a):
+        return jnp.all(self.canon(self.from_mont(a)) == 0, axis=0)
+
+    def eq(self, a, b):
+        ca = self.canon(self.from_mont(a))
+        cb = self.canon(self.from_mont(b))
+        return jnp.all(ca == cb, axis=0)
+
+    def select(self, mask, a, b):
+        """mask broadcastable to batch shape; True -> a."""
+        mask = jnp.asarray(mask)
+        a, b = self._bc(a, b)
+        return jnp.where(mask[None], a, b)
+
+    # ------------------------------------------------------------------
+    # inversion / exponentiation
+    # ------------------------------------------------------------------
+    def pow_const(self, a, e: int):
+        """a^e for a fixed python-int exponent (square-and-multiply scan)."""
+        if e == 0:
+            return self.ones(a.shape[1:])
+        bits = jnp.asarray(
+            np.array([(e >> i) & 1 for i in range(e.bit_length() - 1, -1, -1)],
+                     dtype=np.bool_))
+
+        def body(acc, bit):
+            acc = self.sqr(acc)
+            acc = self.select(bit, self.mul(acc, a), acc)
+            return acc, None
+
+        acc, _ = jax.lax.scan(body, a, bits[1:])
+        return acc
+
+    def inv(self, a):
+        """Fermat inverse a^(p-2); a == 0 -> 0."""
+        return self.pow_const(a, self.modulus - 2)
+
+    def batch_inv(self, a, axis=1):
+        """Montgomery batch inversion along batch axis `axis` (>= 1; one
+        Fermat inverse total). Zero entries invert to zero."""
+        assert axis >= 1, "axis 0 is the limb axis"
+        a = jnp.moveaxis(a, axis, 1)
+        z = self.is_zero(a)                                # (n, ...)
+        one = jnp.broadcast_to(
+            self._const(self.one_mont, a.ndim - 1), a.shape)
+        safe = jnp.where(z[None], one, a)
+
+        def comb(x, y):
+            return self.mul(x, y)
+
+        prefix = jax.lax.associative_scan(comb, safe, axis=1)
+        total_inv = self.inv(prefix[:, -1])
+
+        def body(carry, xs):
+            pre_prev, ai = xs
+            inv_i = self.mul(carry, pre_prev)
+            carry = self.mul(carry, ai)
+            return carry, inv_i
+
+        pre_shift = jnp.concatenate([one[:, :1], prefix[:, :-1]], axis=1)
+        # scan over the batch axis: move it to axis 0 of the scanned pytree
+        ps = jnp.moveaxis(pre_shift, 1, 0)[::-1]
+        sf = jnp.moveaxis(safe, 1, 0)[::-1]
+        _, invs = jax.lax.scan(body, total_inv, (ps, sf))
+        invs = jnp.moveaxis(invs[::-1], 0, 1)
+        invs = jnp.where(z[None], jnp.zeros_like(invs), invs)
+        return jnp.moveaxis(invs, 1, axis)
