@@ -1,0 +1,44 @@
+"""Per-curve kernel context: fields, groups, MSM engines (cached).
+
+The reference picks the curve at compile time (one static library per curve,
+Makefile:26-33); here a :class:`CurveContext` carries every constructed kernel
+object for a runtime-selected curve.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from .curves.params import CurveParams, get_curve
+from .fields.mont import Field
+from .fields.quadratic import Fp2
+from .groups.ec import Curve
+from .ops.msm import MSMEngine
+
+
+def make_g1(cp: CurveParams) -> Curve:
+    return Curve(Field(cp.fp), 3 * cp.b, name=f"{cp.name}-G1")
+
+
+def make_g2(cp: CurveParams) -> Curve:
+    f2 = Fp2(Field(cp.fp), cp.qnr)
+    b3 = (3 * cp.b2[0], 3 * cp.b2[1])
+    return Curve(f2, b3, name=f"{cp.name}-G2")
+
+
+class CurveContext:
+    def __init__(self, cp: CurveParams):
+        self.cp = cp
+        self.fp = Field(cp.fp)
+        self.fr = Field(cp.fr)
+        self.fp2 = Fp2(self.fp, cp.qnr)
+        self.g1 = Curve(self.fp, 3 * cp.b, name=f"{cp.name}-G1")
+        self.g2 = Curve(self.fp2, (3 * cp.b2[0], 3 * cp.b2[1]),
+                        name=f"{cp.name}-G2")
+        self.msm_g1 = MSMEngine(self.g1, self.fr, cp.r)
+        self.msm_g2 = MSMEngine(self.g2, self.fr, cp.r)
+
+
+@lru_cache(maxsize=None)
+def get_context(name: str) -> CurveContext:
+    return CurveContext(get_curve(name))

@@ -97,11 +97,18 @@ class Field:
                 m_p[k, j] = p8[k - j]
         self.m_lo = m_lo
         self.m_p = m_p
-        c16 = 16 * fp.modulus
-        assert c16 >> (LIMB_BITS * L) == 0, "headroom violated"
-        self.p16_limbs = np.array(
-            [(c16 >> (LIMB_BITS * i)) & LIMB_MASK for i in range(L)],
-            dtype=np.uint32)
+        self._kp_cache = {}
+
+    def _kp_limbs(self, k: int) -> np.ndarray:
+        """k*p as canonical 16-bit limbs (k static, k*p < R asserted)."""
+        if k not in self._kp_cache:
+            v = k * self.modulus
+            assert v >> (LIMB_BITS * self.L) == 0, \
+                f"k={k}: k*p exceeds R — limb headroom violated"
+            self._kp_cache[k] = np.array(
+                [(v >> (LIMB_BITS * i)) & LIMB_MASK for i in range(self.L)],
+                dtype=np.uint32)
+        return self._kp_cache[k]
 
     # ------------------------------------------------------------------
     # shape plumbing
@@ -200,18 +207,19 @@ class Field:
         a, b = self._bc(a, b)
         return a + b
 
-    def sub(self, a, b):
-        """a - b (+16p to stay non-negative). Requires value(b) <= 16p and
-        value(a) + 16p < R — true for fresh mul outputs and short sums."""
+    def sub(self, a, b, k: int = 16):
+        """a - b (+k*p to stay non-negative). Requires value(b) <= k*p and
+        value(a) + k*p < R. Output has exact 16-bit limbs,
+        value <= value(a) + k*p."""
         a, b = self._bc(a, b)
-        t = self._norm16(a + self._const(self.p16_limbs, a.ndim - 1))
+        t = self._norm16(a + self._const(self._kp_limbs(k), a.ndim - 1))
         bn = self._norm16(b)
         d, _ = self._sub_chain([t[i] for i in range(self.L)],
                                [bn[i] for i in range(self.L)])
         return jnp.stack(d, axis=0)
 
-    def neg(self, a):
-        return self.sub(jnp.zeros_like(a), a)
+    def neg(self, a, k: int = 16):
+        return self.sub(jnp.zeros_like(a), a, k)
 
     def mul(self, a, b):
         """Montgomery product a*b*R^-1 (lazy bounds; see module docstring)."""
@@ -249,10 +257,24 @@ class Field:
     def sqr(self, a):
         return self.mul(a, a)
 
+    def freshen(self, a):
+        """Identity that re-reduces value to < 1.1p (Montgomery-mul by the
+        Montgomery form of 1, whose plain value is R mod p)."""
+        return self.mul(a, self._const(self.one_mont, a.ndim - 1))
+
     def mul_small(self, a, k: int):
         """Multiply by a small non-negative int (lazy; value scales by k,
         keep k <= 16 to respect limb bounds)."""
         return a * jnp.uint32(k)
+
+    def mul_const(self, a, c: int):
+        """Multiply by a fixed python-int constant: lazy scaling when small,
+        full Montgomery mul by the precomputed constant otherwise."""
+        c = int(c) % self.modulus
+        if c <= 8:
+            return self.mul_small(a, c)
+        return self.mul(a, self.const(c, ()).reshape(
+            (self.L,) + (1,) * (a.ndim - 1)))
 
     # ------------------------------------------------------------------
     # canonicalization / domain conversion

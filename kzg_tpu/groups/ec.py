@@ -1,0 +1,183 @@
+"""Batched *complete* short-Weierstrass (a=0) group ops, generic over field.
+
+One implementation covers G1 (field = fields.mont.Field over Fp) and G2
+(field = fields.quadratic.Fp2), replacing the reference's duplicated MIRACL
+ECP / ECP2 paths (used at src/trusted_setup.cpp:123-201).
+
+Points are homogeneous projective (X : Y : Z), infinity = (0 : 1 : 0), and
+addition/doubling use the complete formulas of Renes–Costello–Batina
+(eprint 2015/1060, Algorithms 7 and 9 for j-invariant 0): a single branchless
+dataflow that is correct for *all* inputs — equal points, negatives,
+infinity — exactly what the MSM segmented scans and bucket reductions need
+(no per-lane case analysis, no exact zero-tests in the hot path).
+
+Field-value bound discipline: coordinates leaving add/dbl are fresh mul
+outputs or exact-16-bit sub results; the multiply-by-3b constants go through
+Field.mul_const (full Montgomery mul when 3b is large), keeping every lazy
+bound of fields.mont satisfied for both Fp and Fp2.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.quadratic import Fp2
+
+
+class Curve:
+    def __init__(self, field, b3, name=""):
+        """b3 = 3*b — python int for G1, (c0, c1) int pair for G2."""
+        self.F = field
+        self.name = name
+        self.is_fp2 = isinstance(field, Fp2)
+        if self.is_fp2:
+            base = field.base
+            self._b3 = field.encode([tuple(c % base.modulus for c in b3)])
+            self._b3 = self._b3[..., 0]        # (2, L)
+        else:
+            self._b3_int = b3 % field.modulus
+            self._b3 = None  # resolved lazily via mul_const
+
+    # ------------------------------------------------------------------
+    def _mul_b3(self, t):
+        if self.is_fp2:
+            b3 = self._b3.reshape(self._b3.shape[:2] + (1,) * (t.ndim - 2))
+            return self.F.mul(t, jnp.broadcast_to(b3, t.shape))
+        return self.F.mul_const(t, self._b3_int)
+
+    def _batch_shape(self, coord):
+        return coord.shape[2:] if self.is_fp2 else coord.shape[1:]
+
+    # ------------------------------------------------------------------
+    # constructors / host-side conversion
+    # ------------------------------------------------------------------
+    def infinity(self, batch_shape=()):
+        F = self.F
+        return {"x": F.zeros(batch_shape), "y": F.ones(batch_shape),
+                "z": F.zeros(batch_shape)}
+
+    def from_affine(self, x, y, inf_mask=None):
+        F = self.F
+        batch = self._batch_shape(x)
+        z = F.ones(batch)
+        if inf_mask is not None:
+            z = F.select(inf_mask, F.zeros(batch), z)
+            y = F.select(inf_mask, F.ones(batch), y)
+            x = F.select(inf_mask, F.zeros(batch), x)
+        return {"x": x, "y": y, "z": z}
+
+    def encode_points(self, pts):
+        """Host: list of oracle affine points (None = infinity) -> batch."""
+        F = self.F
+        zero = (0, 0) if self.is_fp2 else 0
+        xs = [zero if p is None else p[0] for p in pts]
+        ys = [zero if p is None else p[1] for p in pts]
+        inf = np.array([p is None for p in pts])
+        return self.from_affine(F.encode(xs), F.encode(ys), jnp.asarray(inf))
+
+    def decode_points(self, P):
+        """Device batch -> list of oracle affine points (None = infinity)."""
+        F = self.F
+        x, y, infm = self.to_affine(P)
+        xs, ys = F.decode(x), F.decode(y)
+        inf = np.asarray(jax.device_get(infm)).reshape(-1)
+        if not isinstance(xs, list):
+            xs, ys = [xs], [ys]
+        return [None if i else (a, b) for a, b, i in zip(xs, ys, inf)]
+
+    # ------------------------------------------------------------------
+    # complete group law (RCB15 Alg 7 / Alg 9, a = 0)
+    # ------------------------------------------------------------------
+    def add(self, P, Q):
+        F = self.F
+        X1, Y1, Z1 = P["x"], P["y"], P["z"]
+        X2, Y2, Z2 = Q["x"], Q["y"], Q["z"]
+        t0 = F.mul(X1, X2)
+        t1 = F.mul(Y1, Y2)
+        t2 = F.mul(Z1, Z2)
+        t3 = F.sub(F.mul(F.add(X1, Y1), F.add(X2, Y2)),
+                   F.add(t0, t1), k=16)                  # X1Y2 + X2Y1
+        t4 = F.sub(F.mul(F.add(Y1, Z1), F.add(Y2, Z2)),
+                   F.add(t1, t2), k=16)                  # Y1Z2 + Y2Z1
+        t5 = F.sub(F.mul(F.add(X1, Z1), F.add(X2, Z2)),
+                   F.add(t0, t2), k=16)                  # X1Z2 + X2Z1
+        Ft = self._mul_b3(t2)                           # 3b Z1Z2
+        Zt = F.add(t1, Ft)                              # Y1Y2 + 3bZ1Z2
+        M = F.sub(t1, Ft, k=16)                         # Y1Y2 - 3bZ1Z2
+        G = self._mul_b3(t5)                            # 3b (X1Z2+X2Z1)
+        t0_3 = F.mul_small(t0, 3)                       # 3 X1X2
+        X3 = F.sub(F.mul(t3, M), F.mul(t4, G), k=16)
+        Y3 = F.add(F.mul(M, Zt), F.mul(t0_3, G))
+        Z3 = F.add(F.mul(t4, Zt), F.mul(t3, t0_3))
+        return {"x": X3, "y": Y3, "z": Z3}
+
+    def dbl(self, P):
+        F = self.F
+        X, Y, Z = P["x"], P["y"], P["z"]
+        t0 = F.mul(Y, Y)
+        Z3 = F.mul_small(t0, 8)                         # 8 Y^2
+        t1 = F.mul(Y, Z)
+        t2 = self._mul_b3(F.mul(Z, Z))                  # 3b Z^2
+        X3 = F.mul(t2, Z3)                              # 24b Y^2 Z^2
+        Y3 = F.add(t0, t2)                              # Y^2 + 3bZ^2
+        Z3 = F.mul(t1, Z3)                              # 8 Y^3 Z
+        t0 = F.sub(t0, F.mul_small(t2, 3), k=32)        # Y^2 - 9bZ^2
+        Y3 = F.add(F.mul(t0, Y3), X3)
+        X3 = F.mul_small(F.mul(t0, F.mul(X, Y)), 2)
+        return {"x": X3, "y": Y3, "z": Z3}
+
+    def neg(self, P):
+        return {"x": P["x"], "y": self.F.neg(P["y"], 8), "z": P["z"]}
+
+    def select(self, mask, P, Q):
+        sel = self.F.select
+        return {k: sel(mask, P[k], Q[k]) for k in ("x", "y", "z")}
+
+    # ------------------------------------------------------------------
+    # conversions / predicates (boundary ops — exact)
+    # ------------------------------------------------------------------
+    def is_inf(self, P):
+        return self.F.is_zero(P["z"])
+
+    def to_affine(self, P):
+        """-> (x_affine, y_affine, inf_mask); infinity lanes give (0, 0)."""
+        F = self.F
+        zi = F.batch_inv(P["z"])               # 0 lanes -> 0
+        x = F.mul(P["x"], zi)
+        y = F.mul(P["y"], zi)
+        inf = self.is_inf(P)
+        zero = F.zeros(self._batch_shape(x))
+        return (F.select(inf, zero, x), F.select(inf, zero, y), inf)
+
+    def eq(self, P, Q):
+        """Exact equality as group elements (cross-multiplied)."""
+        F = self.F
+        a = F.eq(F.mul(P["x"], Q["z"]), F.mul(Q["x"], P["z"]))
+        b = F.eq(F.mul(P["y"], Q["z"]), F.mul(Q["y"], P["z"]))
+        both_fin = jnp.logical_and(a, b)
+        pi, qi = self.is_inf(P), self.is_inf(Q)
+        return jnp.where(jnp.logical_or(pi, qi),
+                         jnp.logical_and(pi, qi), both_fin)
+
+    # ------------------------------------------------------------------
+    # scalar multiplication with a shared base table
+    # ------------------------------------------------------------------
+    def mul_bits_table(self, bits, table):
+        """sum_j bits[j] * T_j for a fixed point table.
+
+        bits: bool (n_bits, *batch); table: point batch with leading batch
+        axis n_bits (e.g. T_j = 2^j G). Returns point batch of shape batch.
+        Used by trusted-setup generation (the reference does one full
+        PAIR_G1mul per element instead, trusted_setup.cpp:123-135)."""
+        batch = bits.shape[1:]
+        acc = self.infinity(batch)
+
+        def body(acc, ins):
+            bit, tp = ins
+            term = self.select(bit, tp, self.infinity(batch))
+            return self.add(acc, term), None
+
+        acc, _ = jax.lax.scan(body, acc, (bits, table))
+        return acc

@@ -1,0 +1,235 @@
+"""Multi-scalar multiplication (Pippenger) as TPU-friendly batched dataflow.
+
+The reference computes every commitment/proof with a *naive* MSM — one full
+254-bit scalar multiplication plus one addition per coefficient
+(`polyeval_G1`, reference src/trusted_setup.cpp:149-174) — the #1 cost of
+commit and proof. Here:
+
+  * scalars are canonicalized and split into 8-bit windows (byte-aligned with
+    the 16-bit limb layout, so digit extraction is a reshape);
+  * per window, points are sorted by digit and bucket sums are computed with a
+    *segmented* ``jax.lax.associative_scan`` whose combine is the complete
+    Jacobian addition from groups.ec — branchless, log-depth, O(n) adds;
+  * bucket-weighted reduction  sum_b b * B_b  uses the suffix-sum identity
+    (one more scan + a pairwise tree), and windows combine either via
+    precomputed window-shifted bases (all windows independent — best for
+    repeated MSMs against a fixed trusted setup) or a Horner ladder of 8
+    doublings per window (no precomputation — arbitrary bases).
+
+Sharding: the scan/sort axis is the coefficient axis — parallel.sharded_msm
+splits it across a device mesh and tree-combines per-device partials.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.mont import Field
+from ..groups.ec import Curve
+
+WINDOW_BITS = 8
+BUCKETS = 1 << WINDOW_BITS
+
+
+def num_windows(r: int) -> int:
+    return -(-r.bit_length() // WINDOW_BITS)
+
+
+def scan_last(combine, elems, make_identity):
+    """Inclusive associative scan along the *last* axis of every pytree leaf.
+
+    Unlike jax.lax.associative_scan, this supports mixed-rank pytrees whose
+    scan axis is each leaf's own last axis (our field tensors are limb-major:
+    (L, *batch) / (2, L, *batch) with the scanned batch axis last).
+
+    combine(a, b) must be associative; make_identity(k) must return a pytree
+    whose leaves have last-axis length k (used only for odd-length padding).
+    ~2n combine applications, log-depth (Blelloch-style recursion).
+    """
+    n = jax.tree.leaves(elems)[0].shape[-1]
+    if n == 1:
+        return elems
+    if n % 2:
+        pad = make_identity(1)
+        elems = jax.tree.map(
+            lambda v, p: jnp.concatenate([v, p], axis=-1), elems, pad)
+    even = jax.tree.map(lambda v: v[..., 0::2], elems)
+    odd = jax.tree.map(lambda v: v[..., 1::2], elems)
+    z = combine(even, odd)                       # pair sums, length m
+    s = scan_last(combine, z, make_identity)     # s_k = x_0 ... x_{2k+1}
+    sprev = jax.tree.map(lambda v: v[..., :-1], s)
+    even_tail = jax.tree.map(lambda v: v[..., 1:], even)
+    eo = combine(sprev, even_tail)               # outputs at 2, 4, ...
+    even_out = jax.tree.map(
+        lambda head, tail: jnp.concatenate([head[..., :1], tail], axis=-1),
+        even, eo)
+    out = jax.tree.map(
+        lambda a, b: jnp.stack([a, b], axis=-1).reshape(
+            a.shape[:-1] + (2 * a.shape[-1],)),
+        even_out, s)
+    return jax.tree.map(lambda v: v[..., :n], out)
+
+
+class MSMEngine:
+    def __init__(self, group: Curve, fr: Field, order: int):
+        self.J = group
+        self.fr = fr
+        self.W = num_windows(order)
+
+    # ------------------------------------------------------------------
+    # scalar digits
+    # ------------------------------------------------------------------
+    def digits(self, scalars_raw):
+        """Canonical raw scalars (L, n) -> (W, n) uint32 byte digits."""
+        L, n = scalars_raw.shape
+        b = jnp.stack([scalars_raw & 0xFF, scalars_raw >> 8],
+                      axis=1).reshape(2 * L, n)
+        return b[: self.W]
+
+    # ------------------------------------------------------------------
+    # precomputation: window-shifted bases (2^(8w) * P_i)
+    # ------------------------------------------------------------------
+    def precompute_shifted(self, P):
+        """Point batch (n,) -> point batch (W, n) with row w = 2^(8w) P.
+
+        One-time per trusted setup; replaces the per-call doubling ladder so
+        that all Pippenger windows become independent."""
+        J = self.J
+
+        def step(S, _):
+            for _i in range(WINDOW_BITS):
+                S = J.dbl(S)
+            return S, S
+
+        _, rows = jax.lax.scan(step, P, None, length=self.W - 1)
+        # rows: leading axis W-1 on each leaf, after the batch-insertion
+        # convention of scan (leaf shapes (W-1, *leafshape))
+        out = {}
+        for k in ("x", "y", "z"):
+            first = P[k][None]
+            out[k] = jnp.concatenate([first, jnp.moveaxis(
+                rows[k], 0, 0)], axis=0)
+        # leaves now have leading W axis; move it to be a batch axis *after*
+        # the field component/limb axes: field layout wants (..., L, W, n)
+        nd = out["x"].ndim
+        perm = (tuple(range(1, nd - 1)) + (0, nd - 1))
+        return {k: jnp.transpose(v, perm) for k, v in out.items()}
+
+    # ------------------------------------------------------------------
+    # core per-window bucket accumulation (batched over windows)
+    # ------------------------------------------------------------------
+    def _bucket_sums(self, digits, Pw):
+        """digits (W, n); Pw point batch with batch dims (W, n).
+        Returns point batch with batch dims (W, B-1): bucket sums for
+        digits 1..255 per window."""
+        J = self.J
+        W, n = digits.shape
+
+        order = jnp.argsort(digits, axis=-1, stable=True)
+        d_sorted = jnp.take_along_axis(digits, order, axis=-1)
+
+        def take(leaf):
+            idx = order.reshape((1,) * (leaf.ndim - 2) + order.shape)
+            return jnp.take_along_axis(
+                leaf, jnp.broadcast_to(idx, leaf.shape[:-1] + (n,)), axis=-1)
+
+        P_sorted = {k: take(v) for k, v in Pw.items()}
+
+        prev = jnp.concatenate(
+            [jnp.full((W, 1), -1, d_sorted.dtype), d_sorted[:, :-1]], axis=-1)
+        seg_start = d_sorted != prev                       # (W, n) bool
+        nxt = jnp.concatenate(
+            [d_sorted[:, 1:], jnp.full((W, 1), BUCKETS, d_sorted.dtype)],
+            axis=-1)
+        seg_end = d_sorted != nxt
+
+        def combine(a, b):
+            fa, xa = a
+            fb, xb = b
+            s = J.add(xa, xb)
+            return (jnp.logical_or(fa, fb), J.select(fb, xb, s))
+
+        def make_identity(k):
+            return (jnp.zeros((W, k), dtype=jnp.bool_), J.infinity((W, k)))
+
+        flags, sums = scan_last(combine, (seg_start, P_sorted), make_identity)
+
+        # scatter segment-end sums into (W, B+1) buckets (slot B = discard)
+        idx = jnp.where(seg_end, d_sorted, BUCKETS)        # (W, n)
+        flat_idx = (jnp.arange(W, dtype=idx.dtype)[:, None]
+                    * (BUCKETS + 1) + idx).reshape(-1)     # (W*n,)
+        inf = J.infinity((W, BUCKETS + 1))
+
+        def scatter(dst, src):
+            d2 = dst.reshape(dst.shape[:-2] + (W * (BUCKETS + 1),))
+            s2 = src.reshape(src.shape[:-2] + (W * n,))
+            d2 = d2.at[..., flat_idx].set(s2)
+            return d2.reshape(dst.shape)
+
+        buckets = {k: scatter(inf[k], sums[k]) for k in ("x", "y", "z")}
+        # keep digits 1..B-1
+        return {k: v[..., 1:BUCKETS] for k, v in buckets.items()}
+
+    def _tree_reduce(self, P, axis_size):
+        """Pairwise-add reduce over the last batch axis (padded w/ infinity)."""
+        J = self.J
+        m = 1
+        while m < axis_size:
+            m *= 2
+        if m != axis_size:
+            pad = J.infinity(self._lead_batch(P) + (m - axis_size,))
+            P = {k: jnp.concatenate([P[k], pad[k]], axis=-1)
+                 for k in ("x", "y", "z")}
+        while m > 1:
+            half = m // 2
+            A = {k: v[..., :half] for k, v in P.items()}
+            B = {k: v[..., half:] for k, v in P.items()}
+            P = J.add(A, B)
+            m = half
+        return {k: v[..., 0] for k, v in P.items()}
+
+    def _lead_batch(self, P):
+        return self.J._batch_shape(P["x"])[:-1]
+
+    def _weighted_bucket_total(self, buckets):
+        """sum_b (b+1) * buckets[..., b]  over the last axis (b = 0..B-2
+        representing digits 1..255), via suffix sums."""
+        J = self.J
+        rev = {k: v[..., ::-1] for k, v in buckets.items()}
+        lead = self._lead_batch(rev)
+        suffix = scan_last(J.add, rev,
+                           lambda k: J.infinity(lead + (k,)))
+        # suffix[..., j] = sum of top j+1 buckets; total = sum_j suffix_j
+        return self._tree_reduce(suffix, BUCKETS - 1)
+
+    # ------------------------------------------------------------------
+    # public MSM entry points
+    # ------------------------------------------------------------------
+    def msm_shifted(self, scalars_raw, shifted):
+        """MSM with precomputed window-shifted bases (batch dims (W, n))."""
+        d = self.digits(scalars_raw)                       # (W, n)
+        buckets = self._bucket_sums(d, shifted)            # (W, B-1)
+        per_window = self._weighted_bucket_total(buckets)  # (W,)
+        return self._tree_reduce(per_window, self.W)       # ()
+
+    def msm(self, scalars_raw, P):
+        """MSM over arbitrary bases (batch (n,)) — Horner over windows."""
+        J = self.J
+        d = self.digits(scalars_raw)                       # (W, n)
+        Pw = {k: jnp.broadcast_to(
+            v[..., None, :], v.shape[:-1] + (self.W, v.shape[-1]))
+            for k, v in P.items()}
+        buckets = self._bucket_sums(d, Pw)
+        per_window = self._weighted_bucket_total(buckets)  # batch (W,)
+
+        def body(acc, Sw):
+            for _ in range(WINDOW_BITS):
+                acc = J.dbl(acc)
+            return J.add(acc, Sw), None
+
+        # scan from the most significant window down
+        rev = {k: jnp.moveaxis(v, -1, 0)[::-1] for k, v in per_window.items()}
+        acc, _ = jax.lax.scan(body, J.infinity(()), rev)
+        return acc

@@ -1,0 +1,25 @@
+"""Test configuration: force CPU (the real TPU is reserved for benches),
+expose an 8-device virtual mesh for sharding tests, and trade XLA optimization
+for compile speed (graphs here are huge unrolled big-int dataflows; we test
+semantics, not speed)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_disable_most_optimizations", True)
+
+import random  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _seed():
+    random.seed(1234)
