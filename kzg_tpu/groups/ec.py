@@ -144,7 +144,10 @@ class Curve:
     def to_affine(self, P):
         """-> (x_affine, y_affine, inf_mask); infinity lanes give (0, 0)."""
         F = self.F
-        zi = F.batch_inv(P["z"])               # 0 lanes -> 0
+        if self._batch_shape(P["z"]):
+            zi = F.batch_inv(P["z"])           # 0 lanes -> 0
+        else:
+            zi = F.inv(P["z"])
         x = F.mul(P["x"], zi)
         y = F.mul(P["y"], zi)
         inf = self.is_inf(P)

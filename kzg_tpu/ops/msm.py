@@ -73,10 +73,15 @@ def scan_last(combine, elems, make_identity):
 
 
 class MSMEngine:
-    def __init__(self, group: Curve, fr: Field, order: int):
+    def __init__(self, group: Curve, fr: Field, order: int,
+                 strategy: str = "scan"):
+        """strategy: 'scan' = sequential lax.scan bucket accumulation (one
+        complete-add instance, small graphs); 'log' = log-depth Blelloch
+        segmented scan (bigger graphs, more parallel work per step)."""
         self.J = group
         self.fr = fr
         self.W = num_windows(order)
+        self.strategy = strategy
 
     # ------------------------------------------------------------------
     # scalar digits
@@ -145,16 +150,31 @@ class MSMEngine:
             axis=-1)
         seg_end = d_sorted != nxt
 
-        def combine(a, b):
-            fa, xa = a
-            fb, xb = b
-            s = J.add(xa, xb)
-            return (jnp.logical_or(fa, fb), J.select(fb, xb, s))
+        if self.strategy == "log":
+            def combine(a, b):
+                fa, xa = a
+                fb, xb = b
+                s = J.add(xa, xb)
+                return (jnp.logical_or(fa, fb), J.select(fb, xb, s))
 
-        def make_identity(k):
-            return (jnp.zeros((W, k), dtype=jnp.bool_), J.infinity((W, k)))
+            def make_identity(k):
+                return (jnp.zeros((W, k), dtype=jnp.bool_),
+                        J.infinity((W, k)))
 
-        flags, sums = scan_last(combine, (seg_start, P_sorted), make_identity)
+            _, sums = scan_last(combine, (seg_start, P_sorted), make_identity)
+        else:
+            # sequential segmented running sum over the coefficient axis:
+            # one complete-add instance -> small graph, fast compiles
+            starts_m = jnp.moveaxis(seg_start, -1, 0)             # (n, W)
+            P_m = {k: jnp.moveaxis(v, -1, 0) for k, v in P_sorted.items()}
+
+            def body(carry, x):
+                st, Pi = x
+                run = J.select(st, Pi, J.add(carry, Pi))
+                return run, run
+
+            _, sums_m = jax.lax.scan(body, J.infinity((W,)), (starts_m, P_m))
+            sums = {k: jnp.moveaxis(v, 0, -1) for k, v in sums_m.items()}
 
         # scatter segment-end sums into (W, B+1) buckets (slot B = discard)
         idx = jnp.where(seg_end, d_sorted, BUCKETS)        # (W, n)
@@ -195,14 +215,27 @@ class MSMEngine:
 
     def _weighted_bucket_total(self, buckets):
         """sum_b (b+1) * buckets[..., b]  over the last axis (b = 0..B-2
-        representing digits 1..255), via suffix sums."""
+        representing digits 1..255), via the suffix-sum identity
+        sum_d d*B_d = sum_t (sum_{d>=t} B_d)."""
         J = self.J
-        rev = {k: v[..., ::-1] for k, v in buckets.items()}
-        lead = self._lead_batch(rev)
-        suffix = scan_last(J.add, rev,
-                           lambda k: J.infinity(lead + (k,)))
-        # suffix[..., j] = sum of top j+1 buckets; total = sum_j suffix_j
-        return self._tree_reduce(suffix, BUCKETS - 1)
+        lead = self._lead_batch(buckets)
+        if self.strategy == "log":
+            rev = {k: v[..., ::-1] for k, v in buckets.items()}
+            suffix = scan_last(J.add, rev,
+                               lambda k: J.infinity(lead + (k,)))
+            return self._tree_reduce(suffix, BUCKETS - 1)
+        rev_m = {k: jnp.moveaxis(v[..., ::-1], -1, 0)
+                 for k, v in buckets.items()}
+
+        def body(carry, Bb):
+            suf, tot = carry
+            suf = J.add(suf, Bb)
+            tot = J.add(tot, suf)
+            return (suf, tot), None
+
+        (_, tot), _ = jax.lax.scan(
+            body, (J.infinity(lead), J.infinity(lead)), rev_m)
+        return tot
 
     # ------------------------------------------------------------------
     # public MSM entry points
