@@ -64,8 +64,8 @@ class Fp2:
         return jnp.stack([self.base.neg(a[0], k),
                           self.base.neg(a[1], k)], axis=0)
 
-    def conj(self, a):
-        return jnp.stack([a[0], self.base.neg(a[1])], axis=0)
+    def conj(self, a, k: int = 16):
+        return jnp.stack([a[0], self.base.neg(a[1], k)], axis=0)
 
     def _mul_qnr(self, x):
         """qnr * x in the base field."""

@@ -1,0 +1,429 @@
+"""Public KZG protocol API mirroring the reference's class surface.
+
+Maps 1:1 onto namespace kzg of the reference (src/kzg.h:27-292):
+  init(), blob (from_string / from_bytes), poly (from_blob, serialize),
+  commit, proof, trusted_setup (generate / load / create_commit /
+  verify_commit / create_proof x2 / verify_proof / export_setup),
+with identical argument validation and error semantics (ValueError for
+invalid_argument, RuntimeError for runtime_error).
+
+All heavy math dispatches to jit-compiled TPU kernels (MSM, subproduct-tree
+interpolation/evaluation, pairing); compiled entry points are cached per
+(operation, size) signature.
+"""
+
+from __future__ import annotations
+
+import secrets
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..context import CurveContext, get_context
+from ..curves.params import get_curve
+from ..fields.mont import ints_to_limbs
+from ..ops.poly import PolyEngine
+from ..pairing.engine import PairingEngine
+from ..refmodel.model import G1 as OracleG1, G2 as OracleG2
+from . import serial
+
+# --------------------------------------------------------------------------
+# module state (mirrors kzg::init / kzg::CURVE_ORDER_BYTES, kzg.h:29-38)
+# --------------------------------------------------------------------------
+
+_state = {"ctx": None}
+
+CURVE_ORDER_BYTES = None
+MAX_CHUNK_BYTES = None
+
+
+def init(curve: str = "BN254"):
+    """Initialize the library for a curve (must be called first —
+    mirrors kzg::init(), reference trusted_setup.cpp:15-19)."""
+    global CURVE_ORDER_BYTES, MAX_CHUNK_BYTES
+    ctx = get_context(curve)
+    _state["ctx"] = _ProtocolContext(ctx)
+    CURVE_ORDER_BYTES = ctx.cp.order_bytes
+    MAX_CHUNK_BYTES = ctx.cp.max_chunk_bytes
+    return _state["ctx"]
+
+
+def _ctx() -> "_ProtocolContext":
+    if _state["ctx"] is None:
+        raise RuntimeError("call kzg_tpu.init() first")
+    return _state["ctx"]
+
+
+class _ProtocolContext:
+    """Per-curve compiled-kernel state shared by all protocol objects."""
+
+    def __init__(self, ctx: CurveContext):
+        self.ctx = ctx
+        self.cp = ctx.cp
+        self.poly = PolyEngine(ctx.fr, ctx.cp)
+        self.pairing = None          # built lazily (heavy constants)
+        self.og1 = OracleG1(ctx.cp)
+        self.og2 = OracleG2(ctx.cp)
+        self._jit_cache = {}
+        self._g1_table = None
+        self._g2_table = None
+
+    def pairing_engine(self):
+        if self.pairing is None:
+            self.pairing = PairingEngine(self.ctx)
+        return self.pairing
+
+    def jit(self, key, fn):
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    # -- shared generator bit tables for setup generation ---------------
+    def gen_tables(self):
+        if self._g1_table is None:
+            nb = self.cp.r.bit_length()
+            og1, og2 = self.og1, self.og2
+            t1, t2 = [], []
+            P1, P2 = og1.gen, og2.gen
+            for _ in range(nb):
+                t1.append(P1)
+                t2.append(P2)
+                P1 = og1.add(P1, P1)
+                P2 = og2.add(P2, P2)
+            e1 = self.ctx.g1.encode_points(t1)
+            e2 = self.ctx.g2.encode_points(t2)
+            # scan tables need the table axis leading on every leaf
+            self._g1_table = {k: jnp.moveaxis(v, -1, 0)
+                              for k, v in e1.items()}
+            self._g2_table = {k: jnp.moveaxis(v, -1, 0)
+                              for k, v in e2.items()}
+        return self._g1_table, self._g2_table
+
+    def scalars_raw(self, values):
+        """Canonical python ints -> raw (L, n) uint32 limb tensor."""
+        return jnp.asarray(ints_to_limbs(
+            [int(v) % self.cp.r for v in values], self.ctx.fr.L))
+
+    def fr_raw(self, x_mont):
+        """Montgomery tensor -> canonical raw limbs (device)."""
+        F = self.ctx.fr
+        return F.canon(F.from_mont(x_mont))
+
+
+# --------------------------------------------------------------------------
+# blob (reference src/blob.cpp)
+# --------------------------------------------------------------------------
+
+class blob:
+    """Vector of (x, y) evaluation points encoding data
+    (x = chunk index + offset, y = packed chunk scalar)."""
+
+    def __init__(self, data):
+        self.data = list(data)
+
+    def get_data(self):
+        return self.data
+
+    @staticmethod
+    def from_string(s, offset: int = 0) -> "blob":
+        if isinstance(s, str):
+            s = s.encode("latin-1")
+        return blob([(offset + i, c) for i, c in enumerate(s)])
+
+    @staticmethod
+    def from_bytes(data: bytes, byte_offset: int, byte_length: int,
+                   chunk_size: int) -> "blob":
+        pc = _ctx()
+        if chunk_size > pc.cp.max_chunk_bytes:
+            raise ValueError("chunk_size must be at most MAX_CHUNK_BYTES.")
+        if chunk_size <= 0:
+            raise ValueError("chunk_size must be positive.")
+        if byte_offset % chunk_size != 0:
+            raise ValueError("byte_offset is not a multiple of chunk_size.")
+        if byte_length % chunk_size != 0:
+            raise ValueError("byte_length is not a multiple of chunk_size.")
+        chunk_offset = byte_offset // chunk_size
+        chunk_length = byte_length // chunk_size
+        # NOTE reference quirk kept: data is read from the START of the
+        # buffer; byte_offset shifts only the x-coordinates (blob.cpp:35)
+        ys = serial.pack_chunks(data, chunk_length, chunk_size)
+        return blob([(chunk_offset + i, y) for i, y in enumerate(ys)])
+
+    def _consecutive_offset(self):
+        xs = [x for x, _ in self.data]
+        off = xs[0]
+        if any(x != off + i for i, x in enumerate(xs)):
+            raise ValueError("blob x-coordinates must be consecutive")
+        return off
+
+
+# --------------------------------------------------------------------------
+# poly (reference src/poly.cpp)
+# --------------------------------------------------------------------------
+
+class poly:
+    def __init__(self, coeffs):
+        """coeffs: canonical int list (normalized — no leading zeros)."""
+        self.coeffs = serial.normalize_coeffs(coeffs)
+        self._dev = None
+
+    def get_poly(self):
+        return self.coeffs
+
+    @property
+    def degree(self):
+        return len(self.coeffs) - 1
+
+    def device_coeffs(self, pc: "_ProtocolContext"):
+        if self._dev is None:
+            n = max(1, len(self.coeffs))
+            c = self.coeffs or [0]
+            self._dev = pc.poly.encode(c)
+        return self._dev
+
+    @staticmethod
+    def from_blob(b: blob) -> "poly":
+        pc = _ctx()
+        pts = b.get_data()
+        if not pts:
+            return poly([])
+        off = b._consecutive_offset()
+        ys = pc.poly.encode([y for _, y in pts])
+        off_m = pc.ctx.fr.encode([off])[..., 0]
+        n = len(pts)
+        fn = pc.jit(("interp", n),
+                    lambda o, y: pc.poly.interpolate(o, y))
+        out = fn(off_m, ys)
+        return poly(pc.poly.decode(out))
+
+    def serialize(self) -> bytes:
+        return serial.serialize_poly(self.coeffs)
+
+    @staticmethod
+    def deserialize(data: bytes) -> "poly":
+        return poly(serial.deserialize_poly(data))
+
+
+# --------------------------------------------------------------------------
+# commit / proof (reference src/commit.cpp, src/proof.cpp)
+# --------------------------------------------------------------------------
+
+class _PointWrapper:
+    def __init__(self, point):
+        self.curve_point = point          # affine (x, y) ints or None
+
+    def get_curve_point(self):
+        return self.curve_point
+
+    def serialize(self) -> bytes:
+        return serial.serialize_g1(self.curve_point, _ctx().cp)
+
+    @classmethod
+    def deserialize(cls, data: bytes):
+        return cls(serial.deserialize_g1(bytes(data), _ctx().cp))
+
+    def __eq__(self, other):
+        return isinstance(other, _PointWrapper) and \
+            self.curve_point == other.curve_point
+
+
+class commit(_PointWrapper):
+    pass
+
+
+class proof(_PointWrapper):
+    pass
+
+
+# --------------------------------------------------------------------------
+# trusted_setup (reference src/trusted_setup.cpp)
+# --------------------------------------------------------------------------
+
+class trusted_setup:
+    def __init__(self, arg):
+        pc = _ctx()
+        self._pc = pc
+        self._shift1 = None          # cached shifted G1 bases (device)
+        self._g1_dev = None
+        self._g2_dev = None
+        if isinstance(arg, str):
+            self._g1, self._g2 = serial.read_setup_file(arg, pc.cp)
+            return
+        num_coeff = int(arg)
+        if num_coeff < 2:
+            raise ValueError("num_coeff must be at least 2")
+        s = secrets.randbelow(pc.cp.r)
+        self._generate(s, num_coeff)
+
+    @classmethod
+    def from_secret(cls, s: int, num_coeff: int) -> "trusted_setup":
+        """Deterministic setup from a given secret (tests / ceremonies).
+        The reference always samples via CSPRNG (trusted_setup.cpp:26-28);
+        this hook exists because golden vectors need a fixed s."""
+        if num_coeff < 2:
+            raise ValueError("num_coeff must be at least 2")
+        self = cls.__new__(cls)
+        self._pc = _ctx()
+        self._shift1 = None
+        self._g1_dev = None
+        self._g2_dev = None
+        self._generate(s % self._pc.cp.r, num_coeff)
+        return self
+
+    # -- generation (reference trusted_setup.cpp:21-74: the only threaded
+    #    region of the reference; here one batched table-sum kernel) -------
+    def _generate(self, s: int, num_coeff: int):
+        pc = self._pc
+        r = pc.cp.r
+        powers = []
+        acc = 1
+        for _ in range(num_coeff):
+            powers.append(acc)
+            acc = acc * s % r
+        nb = r.bit_length()
+        bits = np.zeros((nb, num_coeff), dtype=np.bool_)
+        for i, v in enumerate(powers):
+            for j in range(nb):
+                if (v >> j) & 1:
+                    bits[j, i] = True
+        t1, t2 = pc.gen_tables()
+        bits_j = jnp.asarray(bits)
+
+        g1c, g2c = pc.ctx.g1, pc.ctx.g2
+        fn = pc.jit(("setupgen", num_coeff),
+                    lambda b: (g1c.mul_bits_table(b, t1),
+                               g2c.mul_bits_table(b, t2)))
+        P1, P2 = fn(bits_j)
+        self._g1 = g1c.decode_points(P1)
+        self._g2 = g2c.decode_points(P2)
+
+    # -- device caches ---------------------------------------------------
+    def _g1_points_dev(self):
+        if self._g1_dev is None:
+            self._g1_dev = self._pc.ctx.g1.encode_points(self._g1)
+        return self._g1_dev
+
+    def _g2_points_dev(self):
+        if self._g2_dev is None:
+            self._g2_dev = self._pc.ctx.g2.encode_points(self._g2)
+        return self._g2_dev
+
+    def _shifted1(self):
+        if self._shift1 is None:
+            pc = self._pc
+            fn = pc.jit(("shift1", len(self._g1)),
+                        pc.ctx.msm_g1.precompute_shifted)
+            self._shift1 = fn(self._g1_points_dev())
+        return self._shift1
+
+    def _msm_g1(self, coeffs_ints):
+        """MSM against the first len(coeffs) setup points -> affine point."""
+        pc = self._pc
+        n = len(coeffs_ints)
+        if n == 0:
+            return None
+        sraw = pc.scalars_raw(coeffs_ints)
+        sh = self._shifted1()
+        eng = pc.ctx.msm_g1
+
+        def fn(sr, shifted):
+            sl = {k: v[..., :n] for k, v in shifted.items()}
+            return eng.msm_shifted(sr, sl)
+
+        out = pc.jit(("msm1", n, len(self._g1)), fn)(sraw, sh)
+        return pc.ctx.g1.decode_points(out)[0]
+
+    # -- commit ----------------------------------------------------------
+    def create_commit(self, p: poly) -> commit:
+        if p.degree + 1 >= len(self._g1):
+            raise ValueError("polynomial degree be at most one less than "
+                             "the setup size (num_coeffs)")
+        return commit(self._msm_g1(p.coeffs))
+
+    def verify_commit(self, c: commit, p: poly) -> bool:
+        return self.create_commit(p).curve_point == c.curve_point
+
+    # -- proofs ----------------------------------------------------------
+    def create_proof(self, p: poly, a, b, chunk_size=None) -> proof:
+        if chunk_size is not None:
+            byte_offset, byte_length = a, b
+            if chunk_size > self._pc.cp.max_chunk_bytes:
+                raise ValueError("chunk_size must at most MAX_CHUNK_BYTES.")
+            if byte_offset % chunk_size != 0:
+                raise ValueError("byte_offset is not a multiple of chunk_size.")
+            if byte_length % chunk_size != 0:
+                raise ValueError("byte_length is not a multiple of chun_size.")
+            return self.create_proof(p, byte_offset // chunk_size,
+                                     byte_length // chunk_size)
+        chunk_offset, chunk_length = a, b
+        if chunk_length < 1:
+            raise ValueError("chunk_length must be 1 or greater")
+        pc = self._pc
+        n = max(len(p.coeffs), chunk_length + 1)
+        P = pc.poly._pad_last(p.device_coeffs(pc), n)
+        off_m = pc.ctx.fr.encode([chunk_offset])[..., 0]
+
+        eng = pc.ctx.msm_g1
+        sh = self._shifted1()
+        nq = n - chunk_length
+        pe = pc.poly
+        fr = pc.ctx.fr
+
+        def fn(Pd, om, shifted):
+            ys = pe.multieval(Pd, om, chunk_length)
+            I = pe.interpolate(om, ys)
+            Z = pe.vanishing(om, chunk_length)
+            q = pe.quotient(Pd, I, Z)
+            qraw = fr.canon(fr.from_mont(q))
+            sl = {k: v[..., :nq] for k, v in shifted.items()}
+            return eng.msm_shifted(qraw, sl)
+
+        out = pc.jit(("proof", n, chunk_length, len(self._g1)), fn)(
+            P, off_m, sh)
+        return proof(pc.ctx.g1.decode_points(out)[0])
+
+    def verify_proof(self, c: commit, pr: proof, expected_data: blob) -> bool:
+        pc = self._pc
+        points = expected_data.get_data()
+        if len(points) < 1:
+            raise ValueError("expected_data size must be 1 or greater")
+        if len(points) >= len(self._g1):
+            return False
+        off = expected_data._consecutive_offset()
+        k = len(points)
+        ys = pc.poly.encode([y for _, y in points])
+        off_m = pc.ctx.fr.encode([off])[..., 0]
+        pe = pc.poly
+        fr = pc.ctx.fr
+        g1eng, g2eng = pc.ctx.msm_g1, pc.ctx.msm_g2
+        g1d = self._g1_points_dev()
+        g2d = self._g2_points_dev()
+        cm = pc.ctx.g1.encode_points([c.curve_point])
+        prf = pc.ctx.g1.encode_points([pr.curve_point])
+        pairing = pc.pairing_engine()
+        g2gen = {kk: v[..., 0] for kk, v in
+                 pc.ctx.g2.encode_points([pc.cp.g2]).items()}
+        nsetup = len(self._g1)
+
+        def fn(ysd, om, cmd, prfd, g1dd, g2dd):
+            I = pe.interpolate(om, ysd)
+            Z = pe.vanishing(om, k)
+            Iraw = fr.canon(fr.from_mont(I))
+            Zraw = fr.canon(fr.from_mont(Z))
+            g1s = {kk: v[..., :k] for kk, v in g1dd.items()}
+            g2s = {kk: v[..., :k + 1] for kk, v in g2dd.items()}
+            zc = g2eng.msm(Zraw, g2s)
+            ic = g1eng.msm(Iraw, g1s)
+            cm0 = {kk: v[..., 0] for kk, v in cmd.items()}
+            pr0 = {kk: v[..., 0] for kk, v in prfd.items()}
+            p2 = pc.ctx.g1.add(pc.ctx.g1.neg(ic), cm0)
+            return pairing.pairing_check(zc, pr0, g2gen, p2)
+
+        out = pc.jit(("verify", k, nsetup), fn)(
+            ys, off_m, cm, prf, g1d, g2d)
+        return bool(out)
+
+    # -- persistence (reference trusted_setup.cpp:256-287, 76-121) -------
+    def export_setup(self, filename: str = "kzg_public"):
+        serial.write_setup_file(filename, self._g1, self._g2, self._pc.cp)

@@ -1,0 +1,238 @@
+"""Protocol-level tests mirroring the reference test harness
+(testing/testing.cpp main list, reference lines 39-51), plus serialization
+byte-format checks against the oracle.
+
+The reference runs its groups on BN254 only (Makefile:11-12); we additionally
+smoke the other curves in test_cross_curve. Heavy groups (150-term setup,
+full property sweep, eth blob1) carry the `slow` marker; the default suite
+keeps sizes small because CPU-XLA compiles dominate test time.
+"""
+
+import os
+import random
+
+import pytest
+
+import kzg_tpu as kzg
+from kzg_tpu.refmodel.model import KZGOracle
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+SECRET = 0xC0FFEE_1234_5678_9ABC_DEF0
+
+
+@pytest.fixture(scope="module")
+def bn254():
+    kzg.init("BN254")
+    return kzg
+
+
+@pytest.fixture(scope="module")
+def setup16(bn254):
+    return kzg.trusted_setup.from_secret(SECRET, 16)
+
+
+def test_invalid_setup(bn254):
+    # reference invalid_setup_test (testing.cpp:153-163)
+    with pytest.raises(ValueError):
+        kzg.trusted_setup(0)
+    with pytest.raises(ValueError):
+        kzg.trusted_setup(1)
+
+
+def test_empty_proof(bn254, setup16):
+    # reference empty_proof_test (testing.cpp:129-137)
+    p = kzg.poly.from_blob(kzg.blob.from_string("some data"))
+    with pytest.raises(ValueError):
+        setup16.create_proof(p, 5, 0)
+
+
+def test_empty_verify(bn254, setup16):
+    # reference empty_verify_test (testing.cpp:139-151)
+    p = kzg.poly.from_blob(kzg.blob.from_string("some data"))
+    c = setup16.create_commit(p)
+    pr = setup16.create_proof(p, 3, 2)
+    with pytest.raises(ValueError):
+        setup16.verify_proof(c, pr, kzg.blob.from_string("", 3))
+
+
+def test_setup_matches_oracle(bn254, setup16):
+    """Generated powers-of-s points must equal the exact oracle's."""
+    o = KZGOracle("BN254")
+    g1s, g2s = o.setup(16, SECRET)
+    assert setup16._g1 == g1s
+    assert setup16._g2 == g2s
+
+
+def test_poly_degree_1(bn254):
+    # reference poly_degree_1_test (testing.cpp:165-190)
+    ts = kzg.trusted_setup.from_secret(SECRET + 1, 2)
+    p = kzg.poly.from_blob(kzg.blob.from_string("K"))
+    c = ts.create_commit(p)
+    assert ts.verify_commit(c, p)
+    pr = ts.create_proof(p, 0, 1)
+    assert ts.verify_proof(c, pr, kzg.blob.from_string("K", 0))
+    with pytest.raises(ValueError):
+        ts.create_commit(kzg.poly.from_blob(kzg.blob.from_string("AB")))
+    assert not ts.verify_proof(c, pr, kzg.blob.from_string("k", 0))
+    # out-of-range offset refuted, *not* thrown (reference testing.cpp:187)
+    assert not ts.verify_proof(c, pr, kzg.blob.from_string("j", 2))
+
+
+def test_poly_degree_10(bn254, setup16):
+    # reference poly_degree_10_test (testing.cpp:192-220), 16-term setup
+    ts = setup16
+    with pytest.raises(ValueError):
+        ts.create_commit(kzg.poly.from_blob(
+            kzg.blob.from_string("CEBIDKAGFJHXXXXZ")))    # 16 chars, too big
+    p = kzg.poly.from_blob(kzg.blob.from_string("CEBIDAGFJH"))
+    c = ts.create_commit(p)
+    assert ts.verify_commit(c, p)
+    pr = ts.create_proof(p, 2, 3)
+    assert ts.verify_proof(c, pr, kzg.blob.from_string("BID", 2))
+    assert not ts.verify_proof(c, pr, kzg.blob.from_string("CDE", 0))
+    assert not ts.verify_proof(c, pr, kzg.blob.from_string("BI", 12))
+    assert not ts.verify_proof(c, pr, kzg.blob.from_string("XYZ", 2))
+
+
+def test_chunking(bn254, setup16):
+    # reference chunking_test (testing.cpp:254-290), chunk sizes 1/2/4
+    ts = setup16
+    data = b"ysudYUGdghv675d\x00"           # 16 bytes incl. terminator
+    with pytest.raises(ValueError):
+        kzg.blob.from_bytes(data, 0, len(data), 3)
+    for cs, (po, pl) in ((1, (3, 9)), (2, (2, 10)), (4, (4, 8))):
+        b = kzg.blob.from_bytes(data, 0, len(data), cs)
+        p = kzg.poly.from_blob(b)
+        c = ts.create_commit(p)
+        assert ts.verify_commit(c, p)
+        pr = ts.create_proof(p, po, pl, cs)
+        v = kzg.blob.from_bytes(data[po:], po, pl, cs)
+        assert ts.verify_proof(c, pr, v)
+
+
+def test_chunking_invalid_args(bn254, setup16):
+    # reference chunking_invalid_args_test (testing.cpp:292-311)
+    p = kzg.poly.from_blob(kzg.blob.from_bytes(b"0123456789abcdef", 0, 16, 1))
+    with pytest.raises(ValueError):
+        setup16.create_proof(p, 0, 5, 4)
+    with pytest.raises(ValueError):
+        setup16.create_proof(p, 2, 8, 4)
+    with pytest.raises(ValueError):
+        setup16.create_proof(p, 0, 8, kzg.MAX_CHUNK_BYTES + 1)
+
+
+def test_serialize_roundtrip_and_formats(bn254, setup16):
+    # reference general_test's serialize branch (testing.cpp:313-339)
+    p = kzg.poly.from_blob(kzg.blob.from_string("roundtrip!"))
+    data = p.serialize()
+    assert kzg.poly.deserialize(data).coeffs == p.coeffs
+    # byte format: i64le degree then per-coeff u8 len + LE bytes
+    import struct
+    (deg,) = struct.unpack_from("<q", data, 0)
+    assert deg == p.degree
+    from kzg_tpu.curves.params import get_curve
+    c = setup16.create_commit(p)
+    cb = c.serialize()
+    (ln,) = struct.unpack_from("<I", cb, 0)
+    assert ln == 2 * get_curve("BN254").modbytes + 1
+    assert cb[4] == 0x04
+    assert kzg.commit.deserialize(cb).curve_point == c.curve_point
+    # corrupt -> soft-fail to infinity (reference util.cpp:107-114)
+    bad = bytearray(cb)
+    bad[10] ^= 0xFF
+    assert kzg.commit.deserialize(bytes(bad)).curve_point is None
+
+
+def test_setup_file_roundtrip(bn254, setup16, tmp_path):
+    path = str(tmp_path / "kzg_public")
+    setup16.export_setup(path)
+    ts2 = kzg.trusted_setup(path)
+    assert ts2._g1 == setup16._g1
+    assert ts2._g2 == setup16._g2
+    with pytest.raises(RuntimeError):
+        kzg.trusted_setup(str(tmp_path / "missing"))
+    # truncated file
+    raw = open(path, "rb").read()
+    open(path, "wb").write(raw[: len(raw) // 2])
+    with pytest.raises(RuntimeError):
+        kzg.trusted_setup(path)
+
+
+def test_random_subset(bn254, setup16):
+    """Reduced form of reference random_test(9, 140, 1, true)
+    (testing.cpp:119-127): random data, a subset of (offset, len) windows
+    verified, each with a refutation, through serialize roundtrips."""
+    random.seed(99)
+    data = "".join(random.choice("abcXYZ012") for _ in range(9))
+    p = kzg.poly.deserialize(
+        kzg.poly.from_blob(kzg.blob.from_string(data)).serialize())
+    c = kzg.commit.deserialize(setup16.create_commit(p).serialize())
+    assert setup16.verify_commit(c, p)
+    for off, ln in ((0, 9), (0, 1), (4, 3), (8, 1), (2, 5)):
+        pr = kzg.proof.deserialize(
+            setup16.create_proof(p, off, ln).serialize())
+        good = kzg.blob.from_string(data[off:off + ln], off)
+        assert setup16.verify_proof(c, pr, good), (off, ln)
+        refute = "".join(chr(ord(ch) ^ 1) for ch in data[off:off + ln])
+        assert not setup16.verify_proof(
+            c, pr, kzg.blob.from_string(refute, off)), (off, ln)
+
+
+def test_eth_blob2(bn254):
+    """Reduced form of reference eth_blob_test (testing.cpp:53-102): the
+    smaller real EIP-4844 blob fixture, MAX_CHUNK_BYTES packing,
+    zero-padding, commit + random 4-chunk partial proof."""
+    data = open(os.path.join(FIXTURES, "eth_blob2.bin"), "rb").read()
+    mcb = kzg.MAX_CHUNK_BYTES
+    pad = mcb - (len(data) % mcb)
+    data = data + b"\x00" * pad
+    nchunks = len(data) // mcb
+    ts = kzg.trusted_setup.from_secret(SECRET + 2, nchunks + 2)
+    b = kzg.blob.from_bytes(data, 0, len(data), mcb)
+    p = kzg.poly.from_blob(b)
+    c = ts.create_commit(p)
+    assert ts.verify_commit(c, p)
+    random.seed(4)
+    off = random.randrange(nchunks - 4)
+    pr = ts.create_proof(p, off, 4)
+    v = kzg.blob.from_bytes(data[off * mcb:], off * mcb, 4 * mcb, mcb)
+    assert ts.verify_proof(c, pr, v)
+
+
+@pytest.mark.slow
+def test_high_poly_degree(bn254):
+    # reference high_poly_degree_test (testing.cpp:222-252), 150-term setup
+    ts = kzg.trusted_setup.from_secret(SECRET + 3, 150)
+    random.seed(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    data = "".join(random.choice(alpha) for _ in range(149))
+    p = kzg.poly.from_blob(kzg.blob.from_string(data))
+    c = ts.create_commit(p)
+    assert ts.verify_commit(c, p)
+    with pytest.raises(ValueError):
+        ts.create_commit(kzg.poly.from_blob(kzg.blob.from_string(data + "x")))
+    pr = ts.create_proof(p, 49, 57)
+    sub = data[49:49 + 57]
+    assert ts.verify_proof(c, pr, kzg.blob.from_string(sub, 49))
+    assert not ts.verify_proof(c, pr, kzg.blob.from_string(sub, 50))
+    assert not ts.verify_proof(c, pr, kzg.blob.from_string(data[49:49 + 56], 30))
+    assert not ts.verify_proof(c, pr, kzg.blob.from_string("a", 200))
+
+
+@pytest.mark.parametrize("curve", ["BN158", "BLS12381"])
+@pytest.mark.slow
+def test_cross_curve(curve):
+    """The reference exercises BN158/BLS12-381 only via its benchmark
+    smoke-verifies; here each curve gets a full tiny roundtrip."""
+    kzg.init(curve)
+    try:
+        ts = kzg.trusted_setup.from_secret(SECRET + 4, 8)
+        p = kzg.poly.from_blob(kzg.blob.from_string("curves!"))
+        c = ts.create_commit(p)
+        assert ts.verify_commit(c, p)
+        pr = ts.create_proof(p, 1, 3)
+        assert ts.verify_proof(c, pr, kzg.blob.from_string("urv", 1))
+        assert not ts.verify_proof(c, pr, kzg.blob.from_string("urw", 1))
+    finally:
+        kzg.init("BN254")
