@@ -1,0 +1,77 @@
+"""Headline benchmark: BN254 degree-4096 commit + single proof latency.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N}
+
+Baseline: the reference's published BN254 degree-4096 numbers
+(README.md:132; BASELINE.md): commit 1104.637 ms + proof 1080.747 ms
+= 2185.384 ms on a desktop CPU (naive per-coefficient scalar-mul MSM,
+src/trusted_setup.cpp:149-174). vs_baseline > 1 means faster than the
+reference.
+
+Run on the TPU (default platform); the full 3-curve table harness lives in
+benchmark/run_benchmarks.py.
+"""
+
+import json
+import random
+import sys
+import time
+
+BASELINE_MS = 1104.637 + 1080.747
+DEGREE = 4096
+SETUP_TERMS = 5000
+
+
+def main():
+    import kzg_tpu as kzg
+
+    kzg.init("BN254")
+    t0 = time.time()
+    ts = kzg.trusted_setup.from_secret(0xBEEF_CAFE_0123, SETUP_TERMS)
+    t_setup = time.time() - t0
+    print(f"# setup({SETUP_TERMS}) in {t_setup:.1f}s", file=sys.stderr)
+
+    random.seed(1)
+    data = "".join(chr(random.randrange(32, 127)) for _ in range(DEGREE + 1))
+    b = kzg.blob.from_string(data)
+    t0 = time.time()
+    p = kzg.poly.from_blob(b)
+    print(f"# from_blob in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # warmup (compile) then measure
+    c = ts.create_commit(p)
+    pr = ts.create_proof(p, 0, 1)
+
+    n_iter = 3
+    t0 = time.time()
+    for _ in range(n_iter):
+        c = ts.create_commit(p)
+    commit_ms = (time.time() - t0) / n_iter * 1e3
+
+    t0 = time.time()
+    for _ in range(n_iter):
+        pr = ts.create_proof(p, 0, 1)
+    proof_ms = (time.time() - t0) / n_iter * 1e3
+
+    ok = ts.verify_proof(c, pr, kzg.blob.from_string(data[0], 0))
+    print(f"# commit {commit_ms:.1f} ms, proof {proof_ms:.1f} ms, "
+          f"verify_ok={ok}", file=sys.stderr)
+    if not ok:
+        print(json.dumps({"metric": "bn254_deg4096_commit_plus_proof",
+                          "value": -1, "unit": "ms", "vs_baseline": 0,
+                          "error": "verification failed"}))
+        return 1
+
+    total = commit_ms + proof_ms
+    print(json.dumps({
+        "metric": "bn254_deg4096_commit_plus_proof",
+        "value": round(total, 3),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_MS / total, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

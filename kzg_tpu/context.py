@@ -7,7 +7,23 @@ object for a runtime-selected curve.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
+
+import jax
+
+# Persistent compilation cache: the protocol layer compiles one kernel per
+# (operation, size) signature; caching them across processes makes CLI /
+# demo / benchmark startup practical (first-ever compile is slow on the
+# remote TPU compile service).
+_cache_dir = os.environ.get(
+    "KZG_TPU_JAX_CACHE", os.path.expanduser("~/.cache/kzg_tpu_jax"))
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+except Exception:                                          # pragma: no cover
+    pass
 
 from .curves.params import CurveParams, get_curve
 from .fields.mont import Field

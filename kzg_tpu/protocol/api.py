@@ -406,7 +406,9 @@ class trusted_setup:
                  pc.ctx.g2.encode_points([pc.cp.g2]).items()}
         nsetup = len(self._g1)
 
-        def fn(ysd, om, cmd, prfd, g1dd, g2dd):
+        # two compiled stages: the (k, setup)-dependent math, and the
+        # size-independent pairing check (compiled once per curve)
+        def fn_math(ysd, om, cmd, g1dd, g2dd):
             I = pe.interpolate(om, ysd)
             Z = pe.vanishing(om, k)
             Iraw = fr.canon(fr.from_mont(I))
@@ -416,12 +418,17 @@ class trusted_setup:
             zc = g2eng.msm(Zraw, g2s)
             ic = g1eng.msm(Iraw, g1s)
             cm0 = {kk: v[..., 0] for kk, v in cmd.items()}
-            pr0 = {kk: v[..., 0] for kk, v in prfd.items()}
             p2 = pc.ctx.g1.add(pc.ctx.g1.neg(ic), cm0)
-            return pairing.pairing_check(zc, pr0, g2gen, p2)
+            return zc, p2
 
-        out = pc.jit(("verify", k, nsetup), fn)(
-            ys, off_m, cm, prf, g1d, g2d)
+        zc, p2 = pc.jit(("verify_math", k, nsetup), fn_math)(
+            ys, off_m, cm, g1d, g2d)
+
+        def fn_pair(zcd, prfd, p2d):
+            pr0 = {kk: v[..., 0] for kk, v in prfd.items()}
+            return pairing.pairing_check(zcd, pr0, g2gen, p2d)
+
+        out = pc.jit(("verify_pair",), fn_pair)(zc, prf, p2)
         return bool(out)
 
     # -- persistence (reference trusted_setup.cpp:256-287, 76-121) -------
