@@ -160,23 +160,45 @@ class PolyEngine:
         return F._norm16(C)                                # exact 16-bit limbs
 
     def _conv_kara(self, a, b):
-        """Equal power-of-2 size Karatsuba convolution (length 2m-1)."""
+        """Equal power-of-2 size Karatsuba convolution (length 2m-1).
+
+        Level-batched: at each level the three half-size subproblems of every
+        pair are *stacked into the batch axis* (B -> 3B, m -> m/2), so the
+        whole recursion is depth-many full-width kernels instead of 3^depth
+        inlined instances — small graphs, large batches."""
         F = self.F
         m = a.shape[-1]
-        if m <= SCHOOL_BASE:
-            return self._conv_school(a, b)
-        h = m // 2
-        a0, a1 = a[..., :h], a[..., h:]
-        b0, b1 = b[..., :h], b[..., h:]
-        z0 = self._conv_kara(a0, b0)                       # 2h-1
-        z2 = self._conv_kara(a1, b1)
-        zm = self._conv_kara(F.freshen(F.add(a0, a1)),
-                             F.freshen(F.add(b0, b1)))
-        t = F.sub(zm, F.add(z0, z2), k=4)
-        out = self._pad_last(z0, 2 * m - 1)
-        out = out.at[..., h:h + 2 * h - 1].add(t)
-        out = out.at[..., 2 * h:2 * h + 2 * h - 1].add(z2)
-        return F.freshen(out)          # keep every level's outputs fresh
+        lead = a.shape[:-1]
+        a = a.reshape(a.shape[:1] + (-1, m))               # (L, B, m)
+        b = b.reshape(b.shape[:1] + (-1, m))
+        while m > SCHOOL_BASE:
+            h = m // 2
+            a0, a1 = a[..., :h], a[..., h:]
+            b0, b1 = b[..., :h], b[..., h:]
+            asum = F.freshen(F.add(a0, a1))
+            bsum = F.freshen(F.add(b0, b1))
+            a = jnp.concatenate([a0, a1, asum], axis=-2)   # (L, 3B, h)
+            b = jnp.concatenate([b0, b1, bsum], axis=-2)
+            m = h
+        z = self._conv_school(a, b)                        # (L, 3^d B, 2m-1)
+        # upward recombination
+        total_m = m
+        while z.shape[-2] > int(np.prod(lead[1:]) or 1):
+            B3 = z.shape[-2]
+            B = B3 // 3
+            z0 = z[..., 0 * B:1 * B, :]
+            z2 = z[..., 1 * B:2 * B, :]
+            zm = z[..., 2 * B:3 * B, :]
+            h = total_m
+            # k covers value(z0 + z2): base-level schoolbook outputs reach
+            # ~2 * SCHOOL_BASE * 1.2 p before their freshen
+            t = F.sub(zm, F.add(z0, z2), k=256)
+            out = self._pad_last(z0, 4 * h - 1)
+            out = out.at[..., h:h + 2 * h - 1].add(t)
+            out = out.at[..., 2 * h:2 * h + 2 * h - 1].add(z2)
+            z = F.freshen(out)
+            total_m *= 2
+        return z.reshape(lead + (2 * total_m - 1,))
 
     def conv(self, a, b):
         """Full polynomial product along the last axis (exact mod r).
