@@ -42,13 +42,15 @@ MASK8 = jnp.uint32(0xFF)
 
 
 def ints_to_limbs(values, n_limbs: int) -> np.ndarray:
-    """Host-side: iterable of python ints -> uint32[n_limbs, len] (limb-major)."""
-    out = np.zeros((n_limbs, len(values)), dtype=np.uint32)
-    for i, v in enumerate(values):
-        v = int(v)
-        for j in range(n_limbs):
-            out[j, i] = (v >> (LIMB_BITS * j)) & LIMB_MASK
-    return out
+    """Host-side: iterable of python ints -> uint32[n_limbs, len] (limb-major).
+    Bytes-based (one to_bytes per value + one numpy reinterpret) — the naive
+    per-limb python loop costs ~10 ms per 4096 scalars, visible at the
+    single-digit-ms latency target."""
+    nbytes = 2 * n_limbs
+    mask = (1 << (LIMB_BITS * n_limbs)) - 1
+    buf = b"".join((int(v) & mask).to_bytes(nbytes, "little") for v in values)
+    return np.frombuffer(buf, dtype="<u2").reshape(
+        len(values), n_limbs).T.astype(np.uint32)
 
 
 def limbs_to_ints(arr):
@@ -56,8 +58,17 @@ def limbs_to_ints(arr):
     a = np.asarray(arr, dtype=np.uint64)
     L = a.shape[0]
     flat = a.reshape(L, -1)
-    vals = [sum(int(flat[j, i]) << (LIMB_BITS * j) for j in range(L))
-            for i in range(flat.shape[1])]
+    n = flat.shape[1]
+    if flat.size == 0:
+        vals = []
+    elif flat.max() <= LIMB_MASK:
+        b = np.ascontiguousarray(flat.T).astype("<u2").tobytes()
+        w = 2 * L
+        vals = [int.from_bytes(b[i * w:(i + 1) * w], "little")
+                for i in range(n)]
+    else:                       # lazy (un-canonicalized) limbs: exact path
+        vals = [sum(int(flat[j, i]) << (LIMB_BITS * j) for j in range(L))
+                for i in range(n)]
     if a.ndim == 1:
         return vals[0]
     out = np.empty(len(vals), dtype=object)
@@ -97,7 +108,24 @@ class Field:
                 m_p[k, j] = p8[k - j]
         self.m_lo = m_lo
         self.m_p = m_p
+        # single jnp copies, created OUTSIDE any trace: every mul in a traced
+        # graph must share ONE constant instance (a per-call jnp.asarray makes
+        # the jaxpr carry one copy per multiply)
+        self._m_lo_j = jnp.asarray(m_lo)
+        self._m_p_j = jnp.asarray(m_p)
         self._kp_cache = {}
+        self._jit_cache = {}
+
+    def _reduction_consts(self):
+        return self._m_lo_j, self._m_p_j
+
+    def jitted(self, name, fn):
+        """Cache a jitted wrapper (jit itself re-specializes per shape).
+        Boundary ops must NOT run eagerly: on a tunneled TPU every eager
+        primitive is a ~8 ms round trip vs ~0.03 ms for a jitted call."""
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn)
+        return self._jit_cache[name]
 
     def _kp_limbs(self, k: int) -> np.ndarray:
         """k*p as canonical 16-bit limbs (k static, k*p < R asserted)."""
@@ -133,12 +161,12 @@ class Field:
     def encode(self, values) -> jnp.ndarray:
         """Python ints -> Montgomery-domain limb tensor (L, n)."""
         raw = ints_to_limbs([int(v) % self.modulus for v in values], self.L)
-        return self.to_mont(jnp.asarray(raw))
+        return self.jitted("to_mont", self.to_mont)(jnp.asarray(raw))
 
     def decode(self, arr):
         """Montgomery-domain limb tensor -> python ints (canonical)."""
-        return limbs_to_ints(np.asarray(jax.device_get(
-            self.canon(self.from_mont(arr)))))
+        fn = self.jitted("decode", lambda a: self.canon(self.from_mont(a)))
+        return limbs_to_ints(np.asarray(jax.device_get(fn(arr))))
 
     def zeros(self, batch_shape=()) -> jnp.ndarray:
         return jnp.zeros((self.L, *batch_shape), dtype=jnp.uint32)
@@ -222,36 +250,55 @@ class Field:
         return self.sub(jnp.zeros_like(a), a, k)
 
     def mul(self, a, b):
-        """Montgomery product a*b*R^-1 (lazy bounds; see module docstring)."""
+        """Montgomery product a*b*R^-1. Input contract: value < 64 p,
+        16-bit-limbs < 2^22. Two carry passes bring the 8-bit limbs under
+        ~320, so every f32 product below is exact (N8 * 320^2 < 2^24)."""
         a, b = self._bc(a, b)
-        a8 = self._pass8(self._to8(a))       # limbs <= 271
-        b8 = self._pass8(self._to8(b))
+        a8 = self._pass8(self._pass8(self._to8(a)))      # limbs <= ~320
+        b8 = self._pass8(self._pass8(self._to8(b)))
         N8 = self.N8
         batch = a.shape[1:]
-        # shift-accumulate product: C[k] = sum_{i+j=k} a8[i] b8[j]  (<= 2^21.9)
-        C = jnp.zeros((2 * N8, *batch), dtype=jnp.uint32)
+        flat = (-1,) if batch else (1,)
+        # shift-accumulate product: C[k] = sum_{i+j=k} a8[i] b8[j] — exact in
+        # u32 (34 * 320^2 < 2^32). Concat-shifted terms, not .at[].add:
+        # scatter-add has no Pallas lowering and this function must trace
+        # inside fused kernels. (An MXU formulation — f32 outer product +
+        # constant 0/1 anti-diagonal matmul — is NOT usable here: TPU f32
+        # matmuls decompose into bf16 passes, exact only when one operand
+        # has <= 8 significant bits, and the outer product has 16.)
+        C = None
         for i in range(N8):
-            C = C.at[i:i + N8].add(a8[i] * b8)
+            term = a8[i] * b8                            # (N8, *batch)
+            parts = []
+            if i:
+                parts.append(jnp.zeros((i, *batch), dtype=jnp.uint32))
+            parts.append(term)
+            parts.append(jnp.zeros((N8 - i, *batch), dtype=jnp.uint32))
+            C = (jnp.concatenate(parts, axis=0) if C is None
+                 else C + jnp.concatenate(parts, axis=0))
         for _ in range(3):
             C = self._pass8(C)                            # limbs <= 256
         # m = (C mod R) * p' mod R  — constant matmul, f32-exact (< 2^22)
-        flat = (-1,) if batch else (1,)
-        Cf = C[:N8].astype(jnp.float32).reshape(N8, *flat)
-        m = jnp.dot(jnp.asarray(self.m_lo), Cf,
-                    preferred_element_type=jnp.float32)
-        m = m.astype(jnp.uint32).reshape(N8, *batch)
+        # (u32<->f32 casts go via i32: Mosaic has no direct u32/f32 cast and
+        # every value here is < 2^24, so the i32 hop is exact)
+        m_lo_j, m_p_j = self._reduction_consts()
+        Cf = C[:N8].astype(jnp.int32).astype(jnp.float32).reshape(N8, *flat)
+        m = jnp.dot(m_lo_j, Cf, preferred_element_type=jnp.float32)
+        m = m.astype(jnp.int32).astype(jnp.uint32).reshape(N8, *batch)
         for _ in range(3):
             m = self._pass8(m)                            # limbs <= 256, mod R
-        mp = jnp.dot(jnp.asarray(self.m_p),
-                     m.astype(jnp.float32).reshape(N8, *flat),
+        mp = jnp.dot(m_p_j,
+                     m.astype(jnp.int32).astype(jnp.float32).reshape(
+                         N8, *flat),
                      preferred_element_type=jnp.float32)
-        D = C + mp.astype(jnp.uint32).reshape(2 * N8, *batch)
+        D = C + mp.astype(jnp.int32).astype(jnp.uint32).reshape(
+            2 * N8, *batch)
         for _ in range(3):
             D = self._pass8(D)                            # limbs <= 256
         low, high = D[:N8], D[N8:]
         # low half is a multiple of R and < 2R -> exactly 0 or R
         carry = jnp.any(low != 0, axis=0).astype(jnp.uint32)
-        high = high.at[0].add(carry)
+        high = jnp.concatenate([high[:1] + carry, high[1:]], axis=0)
         return self._from8(high)                          # value < 1.1 p
 
     def sqr(self, a):
@@ -271,7 +318,7 @@ class Field:
         """Multiply by a fixed python-int constant: lazy scaling when small,
         full Montgomery mul by the precomputed constant otherwise."""
         c = int(c) % self.modulus
-        if c <= 8:
+        if c <= 14:          # 14: callers subtract c-scaled values under k=16
             return self.mul_small(a, c)
         return self.mul(a, self.const(c, ()).reshape(
             (self.L,) + (1,) * (a.ndim - 1)))
@@ -302,7 +349,8 @@ class Field:
         return self.mul(raw, r2)
 
     def from_mont(self, a):
-        one = jnp.zeros_like(a).at[0].set(1)
+        one = jnp.concatenate(
+            [jnp.ones_like(a[:1]), jnp.zeros_like(a[1:])], axis=0)
         return self.mul(a, one)
 
     # ------------------------------------------------------------------
@@ -359,19 +407,12 @@ class Field:
             return self.mul(x, y)
 
         prefix = jax.lax.associative_scan(comb, safe, axis=1)
+        suffix = jax.lax.associative_scan(comb, safe, axis=1, reverse=True)
         total_inv = self.inv(prefix[:, -1])
-
-        def body(carry, xs):
-            pre_prev, ai = xs
-            inv_i = self.mul(carry, pre_prev)
-            carry = self.mul(carry, ai)
-            return carry, inv_i
-
-        pre_shift = jnp.concatenate([one[:, :1], prefix[:, :-1]], axis=1)
-        # scan over the batch axis: move it to axis 0 of the scanned pytree
-        ps = jnp.moveaxis(pre_shift, 1, 0)[::-1]
-        sf = jnp.moveaxis(safe, 1, 0)[::-1]
-        _, invs = jax.lax.scan(body, total_inv, (ps, sf))
-        invs = jnp.moveaxis(invs[::-1], 0, 1)
+        # inv_i = prefix_{i-1} * suffix_{i+1} * total_inv  (log-depth; the
+        # old sequential backward scan cost n dependent steps)
+        pre = jnp.concatenate([one[:, :1], prefix[:, :-1]], axis=1)
+        suf = jnp.concatenate([suffix[:, 1:], one[:, :1]], axis=1)
+        invs = self.mul(self.mul(pre, suf), total_inv)
         invs = jnp.where(z[None], jnp.zeros_like(invs), invs)
         return jnp.moveaxis(invs, 1, axis)

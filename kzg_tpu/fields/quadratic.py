@@ -100,6 +100,15 @@ class Fp2:
         return jnp.stack([self.base.mul(a[0], c),
                           self.base.mul(a[1], c)], axis=0)
 
+    # -- domain conversion (componentwise; for jitted decode boundaries) --
+    def from_mont(self, a):
+        return jnp.stack([self.base.from_mont(a[0]),
+                          self.base.from_mont(a[1])], axis=0)
+
+    def canon(self, a, max_subs: int = 2):
+        return jnp.stack([self.base.canon(a[0], max_subs),
+                          self.base.canon(a[1], max_subs)], axis=0)
+
     # -- predicates ------------------------------------------------------
     def is_zero(self, a):
         return jnp.logical_and(self.base.is_zero(a[0]),

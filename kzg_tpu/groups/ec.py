@@ -39,6 +39,14 @@ class Curve:
         else:
             self._b3_int = b3 % field.modulus
             self._b3 = None  # resolved lazily via mul_const
+        self._jit_cache = {}
+
+    def _jitted(self, name, fn):
+        """Jit-cache for boundary ops (eager primitives are ~8 ms round
+        trips on a tunneled TPU — see fields.mont.Field.jitted)."""
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn)
+        return self._jit_cache[name]
 
     # ------------------------------------------------------------------
     def _mul_b3(self, t):
@@ -75,16 +83,31 @@ class Curve:
         xs = [zero if p is None else p[0] for p in pts]
         ys = [zero if p is None else p[1] for p in pts]
         inf = np.array([p is None for p in pts])
-        return self.from_affine(F.encode(xs), F.encode(ys), jnp.asarray(inf))
+        fn = self._jitted("from_affine", self.from_affine)
+        return fn(F.encode(xs), F.encode(ys), jnp.asarray(inf))
 
     def decode_points(self, P):
         """Device batch -> list of oracle affine points (None = infinity)."""
         F = self.F
-        x, y, infm = self.to_affine(P)
-        xs, ys = F.decode(x), F.decode(y)
-        inf = np.asarray(jax.device_get(infm)).reshape(-1)
-        if not isinstance(xs, list):
-            xs, ys = [xs], [ys]
+
+        def raw_affine(Pd):
+            x, y, infm = self.to_affine(Pd)
+            return (F.canon(F.from_mont(x)), F.canon(F.from_mont(y)), infm)
+
+        x, y, infm = jax.device_get(self._jitted("decode_points",
+                                                 raw_affine)(P))
+        from ..fields.mont import limbs_to_ints
+
+        def to_list(v):
+            out = limbs_to_ints(v)
+            return out if isinstance(out, list) else [out]
+
+        if self.is_fp2:
+            xs = list(zip(to_list(x[0]), to_list(x[1])))
+            ys = list(zip(to_list(y[0]), to_list(y[1])))
+        else:
+            xs, ys = to_list(x), to_list(y)
+        inf = np.asarray(infm).reshape(-1)
         return [None if i else (a, b) for a, b, i in zip(xs, ys, inf)]
 
     # ------------------------------------------------------------------
@@ -119,17 +142,49 @@ class Curve:
         t0 = F.mul(Y, Y)
         Z3 = F.mul_small(t0, 8)                         # 8 Y^2
         t1 = F.mul(Y, Z)
-        t2 = self._mul_b3(F.mul(Z, Z))                  # 3b Z^2
+        zz = F.mul(Z, Z)
+        t2 = self._mul_b3(zz)                           # 3b Z^2
         X3 = F.mul(t2, Z3)                              # 24b Y^2 Z^2
         Y3 = F.add(t0, t2)                              # Y^2 + 3bZ^2
         Z3 = F.mul(t1, Z3)                              # 8 Y^3 Z
-        t0 = F.sub(t0, F.mul_small(t2, 3), k=32)        # Y^2 - 9bZ^2
+        # 9b Z^2: when _mul_b3 took the lazy small-int path (3b <= 16), t2 is
+        # value <= 3b*1.1p, so 3*t2 respects the k=32 sub bound below only if
+        # 9b*1.1 <= 32; otherwise spend one full constant mul on 9b*Z^2
+        if not self.is_fp2 and self._b3_int <= 16 and 3 * self._b3_int > 29:
+            t2_9 = F.mul_const(zz, 3 * self._b3_int)
+        else:
+            t2_9 = F.mul_small(t2, 3)
+        t0 = F.sub(t0, t2_9, k=32)                      # Y^2 - 9bZ^2
         Y3 = F.add(F.mul(t0, Y3), X3)
         X3 = F.mul_small(F.mul(t0, F.mul(X, Y)), 2)
         return {"x": X3, "y": Y3, "z": Z3}
 
     def neg(self, P):
         return {"x": P["x"], "y": self.F.neg(P["y"], 8), "z": P["z"]}
+
+    # fused variants: whole group op as ONE VMEM-resident Pallas kernel
+    # (on TPU, for large batches; falls back to the plain op elsewhere)
+    def add_f(self, P, Q):
+        from ..ops.fuse import fuse_pointwise
+        bn = len(self._batch_shape(P["x"]))
+        if bn == 0:
+            return self.add(P, Q)
+        return fuse_pointwise(self.add, (P, Q), batch_ndim=bn)
+
+    def dbl_f(self, P, times: int = 1):
+        """`times` chained doublings fused into one kernel (amortizes the
+        HBM round trip across the chain)."""
+        from ..ops.fuse import fuse_pointwise
+        bn = len(self._batch_shape(P["x"]))
+
+        def chain(Q):
+            for _ in range(times):
+                Q = self.dbl(Q)
+            return Q
+
+        if bn == 0:
+            return chain(P)
+        return fuse_pointwise(chain, (P,), batch_ndim=bn)
 
     def select(self, mask, P, Q):
         sel = self.F.select

@@ -7,9 +7,15 @@ commit and proof. Here:
 
   * scalars are canonicalized and split into 8-bit windows (byte-aligned with
     the 16-bit limb layout, so digit extraction is a reshape);
-  * per window, points are sorted by digit and bucket sums are computed with a
-    *segmented* ``jax.lax.associative_scan`` whose combine is the complete
-    Jacobian addition from groups.ec — branchless, log-depth, O(n) adds;
+  * per window, points are sorted by digit and bucket sums are computed by a
+    bottom-up *pairwise segment merge* ("merge" strategy, the default): at
+    each level adjacent nodes merge with ONE complete addition, and any
+    segment that closes (its digit run fully inside the merged node) is
+    scattered into its bucket slot — each bucket is written exactly once, and
+    the total work is n-1 additions per window (an associative segmented
+    scan costs ~2n; a naive loop costs n full scalar muls). Every level's
+    additions run as one fused Pallas kernel (ops.fuse), so a complete
+    point-add's ~50 intermediate limb tensors never touch HBM;
   * bucket-weighted reduction  sum_b b * B_b  uses the suffix-sum identity
     (one more scan + a pairwise tree), and windows combine either via
     precomputed window-shifted bases (all windows independent — best for
@@ -28,6 +34,7 @@ import numpy as np
 
 from ..fields.mont import Field
 from ..groups.ec import Curve
+from .fuse import fuse_pointwise
 
 WINDOW_BITS = 8
 BUCKETS = 1 << WINDOW_BITS
@@ -74,10 +81,11 @@ def scan_last(combine, elems, make_identity):
 
 class MSMEngine:
     def __init__(self, group: Curve, fr: Field, order: int,
-                 strategy: str = "scan"):
-        """strategy: 'scan' = sequential lax.scan bucket accumulation (one
-        complete-add instance, small graphs); 'log' = log-depth Blelloch
-        segmented scan (bigger graphs, more parallel work per step)."""
+                 strategy: str = "merge"):
+        """strategy: 'merge' = bottom-up pairwise segment merging, n-1 adds
+        per window, fused Pallas add kernels (default); 'log' = log-depth
+        Blelloch segmented scan (~2n adds); 'scan' = sequential lax.scan
+        (tiny graphs, latency-bound — compile-speed testing only)."""
         self.J = group
         self.fr = fr
         self.W = num_windows(order)
@@ -104,8 +112,7 @@ class MSMEngine:
         J = self.J
 
         def step(S, _):
-            for _i in range(WINDOW_BITS):
-                S = J.dbl(S)
+            S = J.dbl_f(S, times=WINDOW_BITS)
             return S, S
 
         _, rows = jax.lax.scan(step, P, None, length=self.W - 1)
@@ -125,6 +132,81 @@ class MSMEngine:
     # ------------------------------------------------------------------
     # core per-window bucket accumulation (batched over windows)
     # ------------------------------------------------------------------
+    def _scatter_set(self, buckets, idx, pts):
+        """Write point batch `pts` (batch (W, m)) into `buckets`
+        (batch (W, BUCKETS+1)) at per-lane bucket index idx (W, m); index
+        BUCKETS is the discard slot. Indices must be unique per window
+        (except discards)."""
+        W = idx.shape[0]
+        m = idx.shape[1]
+        flat_idx = (jnp.arange(W, dtype=idx.dtype)[:, None]
+                    * (BUCKETS + 1) + idx).reshape(-1)
+
+        def scat(dst, src):
+            d2 = dst.reshape(dst.shape[:-2] + (W * (BUCKETS + 1),))
+            s2 = src.reshape(src.shape[:-2] + (W * m,))
+            d2 = d2.at[..., flat_idx].set(s2, mode="drop")
+            return d2.reshape(dst.shape)
+
+        return {k: scat(buckets[k], pts[k]) for k in ("x", "y", "z")}
+
+    def _bucket_sums_merge(self, d_sorted, P_sorted):
+        """Bottom-up pairwise segmented reduction: n-1 complete adds per
+        window, each level one fused kernel; closed segments scatter
+        straight into their bucket slots (unique writes)."""
+        J = self.J
+        W, n = d_sorted.shape
+        m = 1
+        while m < n:
+            m *= 2
+        DISC = jnp.uint32(BUCKETS)
+        if m != n:                       # pad with discard-id infinity items
+            pad_ids = jnp.full((W, m - n), BUCKETS, d_sorted.dtype)
+            d_sorted = jnp.concatenate([d_sorted, pad_ids], axis=-1)
+            pinf = J.infinity((W, m - n))
+            P_sorted = {k: jnp.concatenate([P_sorted[k], pinf[k]], axis=-1)
+                        for k in ("x", "y", "z")}
+        idL = idR = d_sorted
+        sumL = sumR = P_sorted
+        single = jnp.ones((W, m), dtype=jnp.bool_)
+        buckets = J.infinity((W, BUCKETS + 1))
+
+        def combine(aL, aR, bL, bR, fuse_s, asing_s, bsing_s):
+            mid = J.add(aR, bL)
+            newL = J.select(jnp.logical_and(asing_s, fuse_s), mid, aL)
+            newR = J.select(jnp.logical_and(bsing_s, fuse_s), mid, bR)
+            return mid, newL, newR
+
+        while m > 1:
+            A_idL, B_idL = idL[:, 0::2], idL[:, 1::2]
+            A_idR, B_idR = idR[:, 0::2], idR[:, 1::2]
+            A_s, B_s = single[:, 0::2], single[:, 1::2]
+            AL = {k: v[..., 0::2] for k, v in sumL.items()}
+            BL = {k: v[..., 1::2] for k, v in sumL.items()}
+            AR = {k: v[..., 0::2] for k, v in sumR.items()}
+            BR = {k: v[..., 1::2] for k, v in sumR.items()}
+            fuse = A_idR == B_idL
+            mid, newL, newR = fuse_pointwise(
+                combine, (AL, AR, BL, BR, fuse, A_s, B_s), batch_ndim=2)
+            nf = jnp.logical_not(fuse)
+            nA, nB = jnp.logical_not(A_s), jnp.logical_not(B_s)
+            emitA = jnp.logical_and(nf, nA)            # A.sumR closes
+            emitB = jnp.logical_and(nf, nB)            # B.sumL closes
+            emitM = jnp.logical_and(fuse, jnp.logical_and(nA, nB))
+            for mask, ids, pts in ((emitA, A_idR, AR), (emitB, B_idL, BL),
+                                   (emitM, A_idR, mid)):
+                idx = jnp.where(mask, ids, DISC)
+                buckets = self._scatter_set(buckets, idx, pts)
+            idL, idR = A_idL, B_idR
+            single = jnp.logical_and(jnp.logical_and(A_s, B_s), fuse)
+            sumL, sumR = newL, newR
+            m //= 2
+        # root: leftmost segment always open; rightmost too unless single
+        buckets = self._scatter_set(buckets, idL, sumL)
+        idx2 = jnp.where(single, DISC, idR)
+        buckets = self._scatter_set(buckets, idx2, sumR)
+        return {k: v[..., 1:BUCKETS] for k, v in buckets.items()}
+
     def _bucket_sums(self, digits, Pw):
         """digits (W, n); Pw point batch with batch dims (W, n).
         Returns point batch with batch dims (W, B-1): bucket sums for
@@ -141,6 +223,9 @@ class MSMEngine:
                 leaf, jnp.broadcast_to(idx, leaf.shape[:-1] + (n,)), axis=-1)
 
         P_sorted = {k: take(v) for k, v in Pw.items()}
+
+        if self.strategy == "merge":
+            return self._bucket_sums_merge(d_sorted, P_sorted)
 
         prev = jnp.concatenate(
             [jnp.full((W, 1), -1, d_sorted.dtype), d_sorted[:, :-1]], axis=-1)
@@ -206,7 +291,7 @@ class MSMEngine:
             half = m // 2
             A = {k: v[..., :half] for k, v in P.items()}
             B = {k: v[..., half:] for k, v in P.items()}
-            P = J.add(A, B)
+            P = J.add_f(A, B)
             m = half
         return {k: v[..., 0] for k, v in P.items()}
 
@@ -219,9 +304,9 @@ class MSMEngine:
         sum_d d*B_d = sum_t (sum_{d>=t} B_d)."""
         J = self.J
         lead = self._lead_batch(buckets)
-        if self.strategy == "log":
+        if self.strategy in ("log", "merge"):
             rev = {k: v[..., ::-1] for k, v in buckets.items()}
-            suffix = scan_last(J.add, rev,
+            suffix = scan_last(J.add_f, rev,
                                lambda k: J.infinity(lead + (k,)))
             return self._tree_reduce(suffix, BUCKETS - 1)
         rev_m = {k: jnp.moveaxis(v[..., ::-1], -1, 0)

@@ -282,11 +282,11 @@ class trusted_setup:
             powers.append(acc)
             acc = acc * s % r
         nb = r.bit_length()
-        bits = np.zeros((nb, num_coeff), dtype=np.bool_)
-        for i, v in enumerate(powers):
-            for j in range(nb):
-                if (v >> j) & 1:
-                    bits[j, i] = True
+        nbytes = (nb + 7) // 8
+        buf = b"".join(v.to_bytes(nbytes, "little") for v in powers)
+        byte_mat = np.frombuffer(buf, np.uint8).reshape(num_coeff, nbytes)
+        bits = (((byte_mat[:, :, None] >> np.arange(8)) & 1)
+                .astype(np.bool_).reshape(num_coeff, -1)[:, :nb].T)
         t1, t2 = pc.gen_tables()
         bits_j = jnp.asarray(bits)
 
