@@ -147,8 +147,10 @@ def fuse_pointwise(fn, args, batch_ndim: int = 1, tile: int = LANE_TILE):
             avals_.append(v.reshape(lead + (tile,)))
         outs = jax.core.eval_jaxpr(closed.jaxpr, cvals, *avals_)
         for oref, o in zip(refs[len(consts) + len(ins):], outs):
-            lead_o = o.shape[: o.ndim - batch_ndim]
-            o = o.reshape(lead_o + (tile,))
+            # inside the kernel the batch is already flattened to ONE trailing
+            # lane axis (the abstract inputs were lead + (tile,)), so the
+            # output's lead is everything but the last axis — regardless of
+            # the caller's batch_ndim
             if o.dtype == jnp.bool_:
                 o = o.astype(jnp.uint32)
             oref[:] = o
@@ -165,7 +167,7 @@ def fuse_pointwise(fn, args, batch_ndim: int = 1, tile: int = LANE_TILE):
 
     out_shapes, out_specs, out_info = [], [], []
     for aval in out_avals:
-        lead = aval.shape[: len(aval.shape) - batch_ndim]
+        lead = aval.shape[:-1]     # trace already flattened batch to 1 axis
         dt = jnp.uint32 if aval.dtype == jnp.bool_ else aval.dtype
         out_shapes.append(jax.ShapeDtypeStruct(lead + (padded,), dt))
         out_specs.append(bspec(lead))

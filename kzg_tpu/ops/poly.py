@@ -146,7 +146,14 @@ class PolyEngine:
     # ------------------------------------------------------------------
     # Karatsuba / schoolbook backend
     # ------------------------------------------------------------------
-    def _conv_school(self, a, b):
+    # grid lanes (batch x m x m2) per schoolbook chunk: the Montgomery mul
+    # over the coefficient grid materializes ~(4L, lanes) u32 temps, so at
+    # 2^21 lanes one temp is ~0.5 GB for BN254 — safely inside one chip's
+    # HBM even with XLA keeping several alive (deg-4096 interpolation used
+    # to demand 82 GB unchunked)
+    SCHOOL_LANES = 1 << 21
+
+    def _school_block(self, a, b):
         """(L,*B,m) x (L,*B,m2) -> (L,*B,m+m2-1): one batched field mul of
         all coefficient pairs + skew-reshape anti-diagonal sums."""
         F = self.F
@@ -158,6 +165,29 @@ class PolyEngine:
         skew = flat.reshape(P.shape[:-2] + (m, m2 + m - 1))
         C = jnp.sum(skew.astype(jnp.uint32), axis=-2)      # limb sums
         return F._norm16(C)                                # exact 16-bit limbs
+
+    def _conv_school(self, a, b):
+        """Schoolbook conv, batch-chunked via lax.map to bound live memory."""
+        m, m2 = a.shape[-1], b.shape[-1]
+        lead = a.shape[1:-1]
+        B = int(np.prod(lead, dtype=np.int64)) if lead else 1
+        chunk = max(1, self.SCHOOL_LANES // (m * m2))
+        if B <= chunk:
+            return self._school_block(a, b)
+        L = a.shape[0]
+        nb = -(-B // chunk)
+        padB = nb * chunk
+
+        def prep(x, w):
+            x = x.reshape(L, B, w)
+            if padB != B:
+                x = jnp.pad(x, [(0, 0), (0, padB - B), (0, 0)])
+            return jnp.moveaxis(x.reshape(L, nb, chunk, w), 1, 0)
+
+        a3, b3 = prep(a, m), prep(b, m2)
+        out = jax.lax.map(lambda ab: self._school_block(*ab), (a3, b3))
+        out = jnp.moveaxis(out, 0, 1).reshape(L, padB, m + m2 - 1)
+        return out[:, :B].reshape((L,) + lead + (m + m2 - 1,))
 
     def _conv_kara(self, a, b):
         """Equal power-of-2 size Karatsuba convolution (length 2m-1).

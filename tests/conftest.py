@@ -5,7 +5,8 @@ semantics, not speed)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"          # current spelling
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")  # legacy spelling
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
