@@ -40,6 +40,28 @@ from ..curves.params import FieldParams, LIMB_BITS, LIMB_MASK
 MASK16 = jnp.uint32(LIMB_MASK)
 MASK8 = jnp.uint32(0xFF)
 
+# trace-time switch: inside an auto_fuse() region, Field.mul on large
+# batches runs as one Pallas kernel (see Field.mul). The polynomial engine
+# (ops.poly) turns this on for its whole-tree convolutions.
+_AUTO_FUSE = [False]
+
+
+class auto_fuse:
+    """Context manager enabling Pallas-fused Field.mul for large batches
+    inside the wrapped trace region (re-entrant)."""
+
+    def __init__(self, on: bool = True):
+        self.on = on
+
+    def __enter__(self):
+        self.prev = _AUTO_FUSE[0]
+        _AUTO_FUSE[0] = self.on
+        return self
+
+    def __exit__(self, *exc):
+        _AUTO_FUSE[0] = self.prev
+        return False
+
 
 def ints_to_limbs(values, n_limbs: int) -> np.ndarray:
     """Host-side: iterable of python ints -> uint32[n_limbs, len] (limb-major).
@@ -249,11 +271,35 @@ class Field:
     def neg(self, a, k: int = 16):
         return self.sub(jnp.zeros_like(a), a, k)
 
+    # Inside an `auto_fuse()` region, batches at or above this many lanes
+    # dispatch mul through the Pallas pointwise fuser (ops.fuse): the ~N8
+    # shift-accumulate partial products then live in VMEM tiles instead of
+    # HBM.  Left to XLA at deg-4096 interpolation sizes, ~20 one-GB padded
+    # (2N8, batch) temps stay live simultaneously and OOM a 16 GB chip
+    # (round-1 BENCH failure).  Scoped (not global): paths that already
+    # fuse at a coarser granularity — the MSM's whole-point-add kernels —
+    # must NOT shatter into dozens of per-mul kernels.
+    FUSE_MUL_LANES = 2048
+
     def mul(self, a, b):
         """Montgomery product a*b*R^-1. Input contract: value < 64 p,
-        16-bit-limbs < 2^22. Two carry passes bring the 8-bit limbs under
-        ~320, so every f32 product below is exact (N8 * 320^2 < 2^24)."""
+        16-bit-limbs < 2^22 (see _mul_impl). Inside auto_fuse() regions,
+        large batches run as one Pallas kernel so the partial-product
+        temps never touch HBM."""
         a, b = self._bc(a, b)
+        if _AUTO_FUSE[0]:
+            batch = a.shape[1:]
+            lanes = int(np.prod(batch, dtype=np.int64)) if batch else 1
+            if lanes >= self.FUSE_MUL_LANES:
+                from ..ops.fuse import fuse_pointwise
+                return fuse_pointwise(self._mul_impl, (a, b),
+                                      batch_ndim=a.ndim - 1)
+        return self._mul_impl(a, b)
+
+    def _mul_impl(self, a, b):
+        """Montgomery product core (inputs already broadcast). Two carry
+        passes bring the 8-bit limbs under ~320, so every f32 product below
+        is exact (N8 * 320^2 < 2^24)."""
         a8 = self._pass8(self._pass8(self._to8(a)))      # limbs <= ~320
         b8 = self._pass8(self._pass8(self._to8(b)))
         N8 = self.N8

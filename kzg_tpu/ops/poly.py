@@ -26,12 +26,27 @@ Design:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..curves.params import CurveParams
-from ..fields.mont import Field, ints_to_limbs
+from ..fields.mont import Field, auto_fuse, ints_to_limbs
+
+
+def _fused(fn):
+    """Trace this poly-engine entry point with Pallas-fused large-batch
+    field muls (fields.mont.auto_fuse): tree convolutions put millions of
+    lanes through Field.mul, and XLA alone keeps enough padded
+    partial-product temps live to OOM a chip at deg-4096 (round-1 BENCH).
+    Inside the fuser every intermediate stays in VMEM tiles."""
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with auto_fuse():
+            return fn(*args, **kwargs)
+    return wrapper
 
 SCHOOL_BASE = 64         # Karatsuba base-case size
 HORNER_BLOCK = 128       # blocked-Horner segment size

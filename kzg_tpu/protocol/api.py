@@ -165,8 +165,30 @@ class blob:
 class poly:
     def __init__(self, coeffs):
         """coeffs: canonical int list (normalized — no leading zeros)."""
-        self.coeffs = serial.normalize_coeffs(coeffs)
+        self._coeffs = serial.normalize_coeffs(coeffs)
         self._dev = None
+        self._n = len(self._coeffs)
+
+    @classmethod
+    def _from_device(cls, dev) -> "poly":
+        """Wrap device-resident Montgomery coefficients (L, n). The tensor
+        stays on-chip through create_commit/create_proof (the reference's
+        NTL->BIG bridge re-converts every coefficient per call,
+        src/util.cpp:31-76 — at deg-4096 that host roundtrip alone would
+        blow the single-digit-ms latency budget); ints are materialized
+        lazily only for get_poly()/serialize()."""
+        self = cls.__new__(cls)
+        self._coeffs = None
+        self._dev = dev
+        self._n = int(dev.shape[-1])
+        return self
+
+    @property
+    def coeffs(self):
+        if self._coeffs is None:
+            self._coeffs = serial.normalize_coeffs(
+                _ctx().poly.decode(self._dev))
+        return self._coeffs
 
     def get_poly(self):
         return self.coeffs
@@ -177,8 +199,7 @@ class poly:
 
     def device_coeffs(self, pc: "_ProtocolContext"):
         if self._dev is None:
-            n = max(1, len(self.coeffs))
-            c = self.coeffs or [0]
+            c = self._coeffs or [0]
             self._dev = pc.poly.encode(c)
         return self._dev
 
@@ -194,8 +215,7 @@ class poly:
         n = len(pts)
         fn = pc.jit(("interp", n),
                     lambda o, y: pc.poly.interpolate(o, y))
-        out = fn(off_m, ys)
-        return poly(pc.poly.decode(out))
+        return poly._from_device(fn(off_m, ys))
 
     def serialize(self) -> bytes:
         return serial.serialize_poly(self.coeffs)
@@ -334,11 +354,37 @@ class trusted_setup:
         out = pc.jit(("msm1", n, len(self._g1)), fn)(sraw, sh)
         return pc.ctx.g1.decode_points(out)[0]
 
+    def _msm_g1_dev(self, dev, n):
+        """MSM of device-resident Montgomery coefficients (L, n) — the
+        zero-host-roundtrip commit/proof path (one fused jit: from_mont +
+        canon + Pippenger)."""
+        pc = self._pc
+        sh = self._shifted1()
+        eng = pc.ctx.msm_g1
+        fr = pc.ctx.fr
+
+        def fn(d, shifted):
+            sraw = fr.canon(fr.from_mont(d))
+            sl = {k: v[..., :n] for k, v in shifted.items()}
+            return eng.msm_shifted(sraw, sl)
+
+        out = pc.jit(("msm1dev", n, len(self._g1)), fn)(dev, sh)
+        return pc.ctx.g1.decode_points(out)[0]
+
     # -- commit ----------------------------------------------------------
     def create_commit(self, p: poly) -> commit:
-        if p.degree + 1 >= len(self._g1):
+        nmax = len(self._g1)
+        if p._dev is not None and 0 < p._n < nmax:
+            # fast path: allocated length fits the setup, so the (possibly
+            # zero-padded) device tensor is safe — zero top coefficients
+            # cannot change the MSM result or trip the degree guard
+            return commit(self._msm_g1_dev(p.device_coeffs(self._pc), p._n))
+        if p.degree + 1 >= nmax:
             raise ValueError("polynomial degree be at most one less than "
                              "the setup size (num_coeffs)")
+        if p._dev is not None and len(p.coeffs) > 0:
+            n = len(p.coeffs)                  # true length (top zeros cut)
+            return commit(self._msm_g1_dev(p._dev[..., :n], n))
         return commit(self._msm_g1(p.coeffs))
 
     def verify_commit(self, c: commit, p: poly) -> bool:
@@ -360,7 +406,7 @@ class trusted_setup:
         if chunk_length < 1:
             raise ValueError("chunk_length must be 1 or greater")
         pc = self._pc
-        n = max(len(p.coeffs), chunk_length + 1)
+        n = max(p._n, chunk_length + 1)        # device length; no decode
         P = pc.poly._pad_last(p.device_coeffs(pc), n)
         off_m = pc.ctx.fr.encode([chunk_offset])[..., 0]
 
