@@ -161,12 +161,13 @@ class PolyEngine:
     # ------------------------------------------------------------------
     # Karatsuba / schoolbook backend
     # ------------------------------------------------------------------
-    # grid lanes (batch x m x m2) per schoolbook chunk: the Montgomery mul
-    # over the coefficient grid materializes ~(4L, lanes) u32 temps, so at
-    # 2^21 lanes one temp is ~0.5 GB for BN254 — safely inside one chip's
-    # HBM even with XLA keeping several alive (deg-4096 interpolation used
-    # to demand 82 GB unchunked)
-    SCHOOL_LANES = 1 << 21
+    # grid lanes (batch x m x m2) per schoolbook chunk: the skew-product
+    # Montgomery mul materializes an (N8, N8, lanes) u32 outer product when
+    # XLA's reduce fusion doesn't elide it, so at 2^17 lanes the largest
+    # temp is ~0.6 GB for BN254 — safely inside one chip's HBM even with
+    # XLA keeping several alive (deg-4096 interpolation used to demand
+    # 82 GB unchunked); still 2^17 lanes of parallel work per chunk
+    SCHOOL_LANES = 1 << 17
 
     def _school_block(self, a, b):
         """(L,*B,m) x (L,*B,m2) -> (L,*B,m+m2-1): one batched field mul of

@@ -240,8 +240,14 @@ class PairingEngine:
         def miller_of(Q, P):
             xpa, ypa, infp = g1.to_affine(P)
             infq = self.g2.is_inf(Q)
+            # the Miller add-steps treat Q as an AFFINE twist point (the
+            # chord line uses (Qx, Qy) directly against projective T), so a
+            # projective Q straight out of the G2 MSM must be normalized —
+            # feeding it raw silently corrupts every line evaluation
+            qx, qy, _ = self.g2.to_affine(Q)
+            Qaff = self.g2.from_affine(qx, qy)
             # substitute a harmless generator for degenerate inputs
-            Qs = self.g2.select(infq, self._gen2_dev(), Q)
+            Qs = self.g2.select(infq, self._gen2_dev(), Qaff)
             m = self.miller(Qs, (xpa, ypa))
             return t12.select(jnp.logical_or(infp, infq), t12.one(()), m)
 
