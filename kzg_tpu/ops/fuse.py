@@ -48,7 +48,14 @@ LANE_TILE = 256           # batch lanes per grid program (2 * 128); composite
                           # kernels hold many live limb tensors per lane, and
                           # Mosaic's scoped-VMEM stack is ~16 MB
 MIN_LANES = 256           # below this, XLA fusion is good enough
-_DISABLE = os.environ.get("KZG_TPU_NO_PALLAS", "") not in ("", "0")
+# Pallas fusion is OPT-IN (KZG_TPU_PALLAS=1): with the skew-product field
+# mul, XLA's own elementwise+reduce fusion handles the whole protocol path
+# OOM-free, while Mosaic compile latency is super-linear in kernel size —
+# a single fused 8-doubling chain took >7 min to compile on the v5e
+# toolchain, vs ~80 s for the entire pure-XLA commit jit. KZG_TPU_NO_PALLAS=1
+# still force-disables.
+_DISABLE = (os.environ.get("KZG_TPU_NO_PALLAS", "") not in ("", "0")
+            or os.environ.get("KZG_TPU_PALLAS", "") in ("", "0"))
 _FUSING = [False]         # re-entrancy guard: a fused fn that itself calls
                           # fuse_pointwise must inline (no nested pallas_call)
 
