@@ -165,27 +165,28 @@ class Curve:
     def neg(self, P):
         return {"x": P["x"], "y": self.F.neg(P["y"], 8), "z": P["z"]}
 
-    # fused variants: whole group op as ONE VMEM-resident Pallas kernel
-    # (on TPU, for large batches; falls back to the plain op elsewhere)
+    # composite-fused variants: whole group op as ONE VMEM-resident Pallas
+    # kernel. Off the default path (see ops.fuse.COMPOSITE): Mosaic compile
+    # latency on point-add-sized kernels is minutes each; the per-mul
+    # fusion inside Field.mul already removes the bandwidth problem.
     def add_f(self, P, Q):
-        from ..ops.fuse import fuse_pointwise
+        from ..ops.fuse import COMPOSITE, fuse_pointwise
         bn = len(self._batch_shape(P["x"]))
-        if bn == 0:
+        if bn == 0 or not COMPOSITE:
             return self.add(P, Q)
         return fuse_pointwise(self.add, (P, Q), batch_ndim=bn)
 
     def dbl_f(self, P, times: int = 1):
-        """`times` chained doublings fused into one kernel (amortizes the
-        HBM round trip across the chain)."""
-        from ..ops.fuse import fuse_pointwise
-        bn = len(self._batch_shape(P["x"]))
+        """`times` chained doublings, optionally fused into one kernel."""
+        from ..ops.fuse import COMPOSITE, fuse_pointwise
 
         def chain(Q):
             for _ in range(times):
                 Q = self.dbl(Q)
             return Q
 
-        if bn == 0:
+        bn = len(self._batch_shape(P["x"]))
+        if bn == 0 or not COMPOSITE:
             return chain(P)
         return fuse_pointwise(chain, (P,), batch_ndim=bn)
 

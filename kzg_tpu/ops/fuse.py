@@ -48,14 +48,19 @@ LANE_TILE = 256           # batch lanes per grid program (2 * 128); composite
                           # kernels hold many live limb tensors per lane, and
                           # Mosaic's scoped-VMEM stack is ~16 MB
 MIN_LANES = 256           # below this, XLA fusion is good enough
-# Pallas fusion is OPT-IN (KZG_TPU_PALLAS=1): with the skew-product field
-# mul, XLA's own elementwise+reduce fusion handles the whole protocol path
-# OOM-free, while Mosaic compile latency is super-linear in kernel size —
-# a single fused 8-doubling chain took >7 min to compile on the v5e
-# toolchain, vs ~80 s for the entire pure-XLA commit jit. KZG_TPU_NO_PALLAS=1
-# still force-disables.
-_DISABLE = (os.environ.get("KZG_TPU_NO_PALLAS", "") not in ("", "0")
-            or os.environ.get("KZG_TPU_PALLAS", "") in ("", "0"))
+# Fusion granularity policy (measured on the v5e toolchain):
+#  * per-MUL kernels (~80 ops) are the sweet spot: Mosaic compiles the body
+#    once (~60 s) then ~1.5 s per additional shape, and VMEM-residency cuts
+#    the mul's HBM traffic ~100x (the XLA path materializes the (N8,N8,lanes)
+#    outer product through ~5 HBM sweeps — measured 275 ms of pure bandwidth
+#    in one deg-4096 bucket accumulation);
+#  * COMPOSITE kernels (whole point-add, dbl chains) are compile-latency
+#    disasters — one fused 8-doubling chain took >7 min in Mosaic — so they
+#    are opt-in via KZG_TPU_PALLAS_COMPOSITE=1 and off the default path.
+# KZG_TPU_NO_PALLAS=1 force-disables everything (CPU tests force it off
+# implicitly: fusion only activates on the TPU backend).
+_DISABLE = os.environ.get("KZG_TPU_NO_PALLAS", "") not in ("", "0")
+COMPOSITE = os.environ.get("KZG_TPU_PALLAS_COMPOSITE", "") not in ("", "0")
 _FUSING = [False]         # re-entrancy guard: a fused fn that itself calls
                           # fuse_pointwise must inline (no nested pallas_call)
 
@@ -74,6 +79,14 @@ def _flatten_batch(leaf, batch_ndim):
     b = int(np.prod(leaf.shape[leaf.ndim - batch_ndim:], dtype=np.int64)) \
         if batch_ndim else 1
     return leaf.reshape(lead + (b,)), lead
+
+
+def fuse_composite(fn, args, batch_ndim: int = 1, tile: int = LANE_TILE):
+    """fuse_pointwise for composite (multi-field-op) bodies — a plain call
+    unless KZG_TPU_PALLAS_COMPOSITE=1 (see policy note above)."""
+    if not COMPOSITE:
+        return fn(*args)
+    return fuse_pointwise(fn, args, batch_ndim, tile)
 
 
 def fuse_pointwise(fn, args, batch_ndim: int = 1, tile: int = LANE_TILE):

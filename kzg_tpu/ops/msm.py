@@ -34,7 +34,7 @@ import numpy as np
 
 from ..fields.mont import Field
 from ..groups.ec import Curve
-from .fuse import fuse_pointwise
+from .fuse import fuse_composite, fuse_pointwise
 
 WINDOW_BITS = 8
 BUCKETS = 1 << WINDOW_BITS
@@ -198,7 +198,7 @@ class MSMEngine:
             AR = {k: v[..., 0::2] for k, v in sumR.items()}
             BR = {k: v[..., 1::2] for k, v in sumR.items()}
             fuse = A_idR == B_idL
-            mid, newL, newR = fuse_pointwise(
+            mid, newL, newR = fuse_composite(
                 combine, (AL, AR, BL, BR, fuse, A_s, B_s), batch_ndim=2)
             nf = jnp.logical_not(fuse)
             nA, nB = jnp.logical_not(A_s), jnp.logical_not(B_s)
@@ -268,7 +268,7 @@ class MSMEngine:
             def step(c, p, s):
                 return J.select(s, p, J.add(c, p))
 
-            run = fuse_pointwise(step, (carry, Pi, st), batch_ndim=2)
+            run = fuse_composite(step, (carry, Pi, st), batch_ndim=2)
             return run, run
 
         tail, sums_tm = jax.lax.scan(body, J.infinity((W, CH)),
@@ -299,9 +299,8 @@ class MSMEngine:
         def corr(ci, s, m):
             return J.select(m, J.add(ci, s), s)
 
-        sums3 = fuse_pointwise(
-            corr, (cin_b, sums_c, jnp.logical_and(firstrun, True)),
-            batch_ndim=3)
+        sums3 = fuse_composite(corr, (cin_b, sums_c, firstrun),
+                               batch_ndim=3)
         sums = {k: v.reshape(v.shape[:-2] + (npad,))
                 for k, v in sums3.items()}
 
@@ -459,7 +458,7 @@ class MSMEngine:
             return jnp.moveaxis(v, -1, 0)
 
         def add_body(carry, x):
-            s = fuse_pointwise(J.add, (carry, x),
+            s = fuse_composite(J.add, (carry, x),
                                batch_ndim=len(lead) + 1)
             return s, s
 
@@ -482,7 +481,8 @@ class MSMEngine:
         # full suffix FS = suf_lo + S_hi (broadcast over lo), then sum all
         S_b = {k: jnp.broadcast_to(v[..., None], v.shape + (G16,))
                for k, v in S_hi.items()}
-        FS = fuse_pointwise(J.add, (suf_lo, S_b), batch_ndim=len(lead) + 2)
+        FS = fuse_composite(J.add, (suf_lo, S_b),
+                            batch_ndim=len(lead) + 2)
         FS_tm = {k: tm_lo(v) for k, v in FS.items()}
         T_hi, _ = jax.lax.scan(add_body, J.infinity(lead + (G16,)), FS_tm)
         T_tm = {k: jnp.moveaxis(v, -1, 0) for k, v in T_hi.items()}
