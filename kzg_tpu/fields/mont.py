@@ -415,6 +415,20 @@ class Field:
     def sqr(self, a):
         return self.mul(a, a)
 
+    def mul_many(self, pairs):
+        """[(a, b), ...] (same batch shape after broadcast) -> list of
+        Montgomery products, computed as ONE stacked mul. With per-mul
+        Pallas fusion each kernel call has a fixed dispatch cost, so the
+        group law batches its independent products (6+6 per complete add)
+        into two calls instead of fourteen."""
+        if len(pairs) == 1:
+            return [self.mul(*pairs[0])]
+        bc = [self._bc(a, b) for a, b in pairs]
+        a = jnp.stack([p[0] for p in bc], axis=1)      # (L, k, *batch)
+        b = jnp.stack([p[1] for p in bc], axis=1)
+        out = self.mul(a, b)
+        return [out[:, i] for i in range(len(pairs))]
+
     def freshen(self, a):
         """Identity that re-reduces value to < 1.1p (Montgomery-mul by the
         Montgomery form of 1, whose plain value is R mod p)."""

@@ -91,6 +91,16 @@ class Fp2:
     def sqr(self, a):
         return self.mul(a, a)
 
+    def mul_many(self, pairs):
+        """Stacked batch of independent Fp2 products (see Field.mul_many);
+        the three Karatsuba base muls each see len(pairs)x the lanes."""
+        if len(pairs) == 1:
+            return [self.mul(*pairs[0])]
+        a = jnp.stack([p[0] for p in pairs], axis=2)   # (2, L, k, *batch)
+        b = jnp.stack([p[1] for p in pairs], axis=2)
+        out = self.mul(a, b)
+        return [out[:, :, i] for i in range(len(pairs))]
+
     def mul_small(self, a, k: int):
         return jnp.stack([self.base.mul_small(a[0], k),
                           self.base.mul_small(a[1], k)], axis=0)

@@ -114,39 +114,40 @@ class Curve:
     # complete group law (RCB15 Alg 7 / Alg 9, a = 0)
     # ------------------------------------------------------------------
     def add(self, P, Q):
+        """Complete add; independent products are stacked into batched mul
+        rounds (2 kernel dispatches for G1, 3 for G2) — per-mul Pallas
+        kernels have a fixed dispatch cost, and a complete add has 6+6
+        independent products."""
         F = self.F
         X1, Y1, Z1 = P["x"], P["y"], P["z"]
         X2, Y2, Z2 = Q["x"], Q["y"], Q["z"]
-        t0 = F.mul(X1, X2)
-        t1 = F.mul(Y1, Y2)
-        t2 = F.mul(Z1, Z2)
-        t3 = F.sub(F.mul(F.add(X1, Y1), F.add(X2, Y2)),
-                   F.add(t0, t1), k=16)                  # X1Y2 + X2Y1
-        t4 = F.sub(F.mul(F.add(Y1, Z1), F.add(Y2, Z2)),
-                   F.add(t1, t2), k=16)                  # Y1Z2 + Y2Z1
-        t5 = F.sub(F.mul(F.add(X1, Z1), F.add(X2, Z2)),
-                   F.add(t0, t2), k=16)                  # X1Z2 + X2Z1
+        t0, t1, t2, tA, tB, tC = F.mul_many([
+            (X1, X2), (Y1, Y2), (Z1, Z2),
+            (F.add(X1, Y1), F.add(X2, Y2)),
+            (F.add(Y1, Z1), F.add(Y2, Z2)),
+            (F.add(X1, Z1), F.add(X2, Z2))])
+        t3 = F.sub(tA, F.add(t0, t1), k=16)              # X1Y2 + X2Y1
+        t4 = F.sub(tB, F.add(t1, t2), k=16)              # Y1Z2 + Y2Z1
+        t5 = F.sub(tC, F.add(t0, t2), k=16)              # X1Z2 + X2Z1
         Ft = self._mul_b3(t2)                           # 3b Z1Z2
         Zt = F.add(t1, Ft)                              # Y1Y2 + 3bZ1Z2
         M = F.sub(t1, Ft, k=16)                         # Y1Y2 - 3bZ1Z2
         G = self._mul_b3(t5)                            # 3b (X1Z2+X2Z1)
         t0_3 = F.mul_small(t0, 3)                       # 3 X1X2
-        X3 = F.sub(F.mul(t3, M), F.mul(t4, G), k=16)
-        Y3 = F.add(F.mul(M, Zt), F.mul(t0_3, G))
-        Z3 = F.add(F.mul(t4, Zt), F.mul(t3, t0_3))
+        X3a, X3b, Y3a, Y3b, Z3a, Z3b = F.mul_many([
+            (t3, M), (t4, G), (M, Zt), (t0_3, G), (t4, Zt), (t3, t0_3)])
+        X3 = F.sub(X3a, X3b, k=16)
+        Y3 = F.add(Y3a, Y3b)
+        Z3 = F.add(Z3a, Z3b)
         return {"x": X3, "y": Y3, "z": Z3}
 
     def dbl(self, P):
         F = self.F
         X, Y, Z = P["x"], P["y"], P["z"]
-        t0 = F.mul(Y, Y)
-        Z3 = F.mul_small(t0, 8)                         # 8 Y^2
-        t1 = F.mul(Y, Z)
-        zz = F.mul(Z, Z)
+        t0, t1, zz, xy = F.mul_many([(Y, Y), (Y, Z), (Z, Z), (X, Y)])
+        e8 = F.mul_small(t0, 8)                         # 8 Y^2
         t2 = self._mul_b3(zz)                           # 3b Z^2
-        X3 = F.mul(t2, Z3)                              # 24b Y^2 Z^2
-        Y3 = F.add(t0, t2)                              # Y^2 + 3bZ^2
-        Z3 = F.mul(t1, Z3)                              # 8 Y^3 Z
+        Y3t = F.add(t0, t2)                             # Y^2 + 3bZ^2
         # 9b Z^2: t2_9 is the b-arg of the lazy sub below, whose limb budget
         # is 2^20-16 (fields.mont.Field.sub); 9b > 15 lazy-scaled limbs
         # (9b * 2^16) would exceed it, so any G1 curve with 9b > 15 (all of
@@ -154,12 +155,17 @@ class Curve:
         # Fp2 (G2) keeps the small-scale path: its subs are exact and 9b*1.1
         # <= 32 holds for the derived twists (b2 components <= 1 pre-scale).
         if not self.is_fp2 and 3 * self._b3_int > 15:
-            t2_9 = F.mul_const(zz, 3 * self._b3_int)
+            c9 = F.const(3 * self._b3_int, ()).reshape(
+                (F.L,) + (1,) * (zz.ndim - 1))
+            X3, Z3, t2_9 = F.mul_many([(t2, e8), (t1, e8),
+                                       (zz, jnp.broadcast_to(c9, zz.shape))])
         else:
+            X3, Z3 = F.mul_many([(t2, e8), (t1, e8)])
             t2_9 = F.mul_small(t2, 3)
         t0 = F.sub(t0, t2_9, k=32)                      # Y^2 - 9bZ^2
-        Y3 = F.add(F.mul(t0, Y3), X3)
-        X3 = F.mul_small(F.mul(t0, F.mul(X, Y)), 2)
+        Ya, Xa = F.mul_many([(t0, Y3t), (t0, xy)])
+        Y3 = F.add(Ya, X3)
+        X3 = F.mul_small(Xa, 2)
         return {"x": X3, "y": Y3, "z": Z3}
 
     def neg(self, P):

@@ -325,8 +325,17 @@ class MSMEngine:
         J = self.J
         W, n = digits.shape
 
-        order = jnp.argsort(digits, axis=-1, stable=True)
-        d_sorted = jnp.take_along_axis(digits, order, axis=-1)
+        if n < (1 << 24):
+            # pack (digit, index) into ONE u32 key: a single-array sort is
+            # several times cheaper than variadic argsort, and the index in
+            # the low bits makes it stable by construction
+            key = (digits << 24) | jnp.arange(n, dtype=jnp.uint32)[None]
+            key_s = jax.lax.sort(key, dimension=-1)
+            d_sorted = key_s >> 24
+            order = (key_s & jnp.uint32((1 << 24) - 1)).astype(jnp.int32)
+        else:
+            order = jnp.argsort(digits, axis=-1, stable=True)
+            d_sorted = jnp.take_along_axis(digits, order, axis=-1)
 
         def take(leaf):
             idx = order.reshape((1,) * (leaf.ndim - 2) + order.shape)
