@@ -22,7 +22,6 @@ class Fp2:
         self.qnr_is_m1 = (self.qnr == base.modulus - 1)
         if not self.qnr_is_m1:
             self.qnr_small = self.qnr if self.qnr < 16 else None
-            self.qnr_mont = None if self.qnr_small is not None else None
             if self.qnr_small is None:
                 raise NotImplementedError(
                     "qnr must be -1 or small (<16); derived curves satisfy this")

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..fields.mont import ints_to_limbs
 from ..ops.poly import PolyEngine
@@ -104,7 +104,7 @@ class DistributedNTT:
         f = shard_map(local, mesh=self.mesh,
                       in_specs=(P(None, ax), P(None, None, None),
                                 P(None, None, None)),
-                      out_specs=P(None, ax), check_rep=False)
+                      out_specs=P(None, ax), check_vma=False)
         return f(x, tw, W)
 
     def conv(self, a, b, out_n: int):

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.msm import MSMEngine
 
@@ -53,7 +53,7 @@ def sharded_msm(eng: MSMEngine, mesh: Mesh, axis_name: str = "data"):
     def run(scalars, points):
         in_specs, out_specs = make_specs(scalars, points)
         f = shard_map(local, mesh=mesh, in_specs=in_specs,
-                      out_specs=out_specs, check_rep=False)
+                      out_specs=out_specs, check_vma=False)
         return f(scalars, points)
 
     return run
@@ -77,7 +77,7 @@ def sharded_setup_powers(curve, mesh: Mesh, axis_name: str = "data"):
             jax.eval_shape(lambda b, t: curve.mul_bits_table(b, t),
                            bits, table))
         f = shard_map(local, mesh=mesh, in_specs=in_specs,
-                      out_specs=out_specs, check_rep=False)
+                      out_specs=out_specs, check_vma=False)
         return f(bits, table)
 
     return run

@@ -3,8 +3,9 @@
 byte-format checks against the oracle.
 
 The reference runs its groups on BN254 only (Makefile:11-12); we additionally
-smoke the other curves in test_cross_curve. Heavy groups (150-term setup,
-full property sweep, eth blob1) carry the `slow` marker; the default suite
+smoke the other curves in test_cross_curve. Heavy groups — the 150-term
+setup, the 128 KiB eth blob1 (test_eth_blob1), and the full 140-window
+random sweep (test_random_full) — carry the `slow` marker; the default suite
 keeps sizes small because CPU-XLA compiles dominate test time.
 """
 
@@ -198,6 +199,64 @@ def test_eth_blob2(bn254):
     pr = ts.create_proof(p, off, 4)
     v = kzg.blob.from_bytes(data[off * mcb:], off * mcb, 4 * mcb, mcb)
     assert ts.verify_proof(c, pr, v)
+
+
+@pytest.mark.slow
+def test_eth_blob1(bn254):
+    """Full reference eth_blob_test on the LARGE fixture
+    (testing.cpp:53-102 with eth_blob1, 128 KiB): MAX_CHUNK_BYTES packing,
+    zero-padding to a chunk boundary, commit and a random 4-chunk partial
+    proof — a deg-4000+ polynomial, the flagship benchmark size."""
+    data = open(os.path.join(FIXTURES, "eth_blob1.bin"), "rb").read()
+    assert len(data) == 131072
+    mcb = kzg.MAX_CHUNK_BYTES
+    pad = (mcb - len(data) % mcb) % mcb
+    data = data + b"\x00" * pad
+    nchunks = len(data) // mcb
+    ts = kzg.trusted_setup.from_secret(SECRET + 5, nchunks + 2)
+    b = kzg.blob.from_bytes(data, 0, len(data), mcb)
+    p = kzg.poly.from_blob(b)
+    c = ts.create_commit(p)
+    assert ts.verify_commit(c, p)
+    random.seed(4)
+    off = random.randrange(nchunks - 4)
+    pr = ts.create_proof(p, off, 4)
+    v = kzg.blob.from_bytes(data[off * mcb:], off * mcb, 4 * mcb, mcb)
+    assert ts.verify_proof(c, pr, v)
+    wrong = bytes([data[off * mcb] ^ 1]) + data[off * mcb + 1:]
+    bad = kzg.blob.from_bytes(wrong, off * mcb, 4 * mcb, mcb)
+    assert not ts.verify_proof(c, pr, bad)
+
+
+@pytest.mark.slow
+def test_random_full(bn254):
+    """Full reference random_test(9, 140, 1, true) (testing.cpp:119-127,
+    384-404): a 140-term setup, a 9-char random string, EVERY in-range
+    (offset, length) window — 45 of them — verified through serialize
+    roundtrips, each also refuted against a random string of random length
+    in [1, 139] at the same offset."""
+    random.seed(99)
+    alpha = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    length, num_coeff = 9, 140
+    ts = kzg.trusted_setup.from_secret(SECRET + 6, num_coeff)
+    data = "".join(random.choice(alpha) for _ in range(length))
+    p = kzg.poly.deserialize(
+        kzg.poly.from_blob(kzg.blob.from_string(data)).serialize())
+    c = kzg.commit.deserialize(ts.create_commit(p).serialize())
+    assert ts.verify_commit(c, p)
+    for off in range(length):
+        for ln in range(1, length - off + 1):
+            pr = kzg.proof.deserialize(
+                ts.create_proof(p, off, ln).serialize())
+            good = kzg.blob.from_string(data[off:off + ln], off)
+            assert ts.verify_proof(c, pr, good), (off, ln)
+            sub = data[off:off + ln]
+            refute = sub
+            while refute == sub:
+                refute = "".join(random.choice(alpha) for _ in
+                                 range(random.randrange(1, num_coeff - 1)))
+            assert not ts.verify_proof(
+                c, pr, kzg.blob.from_string(refute, off)), (off, ln)
 
 
 @pytest.mark.slow
