@@ -55,8 +55,11 @@ def main():
     proof_ms = (time.time() - t0) / n_iter * 1e3
 
     ok = ts.verify_proof(c, pr, kzg.blob.from_string(data[0], 0))
+    refuted = not ts.verify_proof(
+        c, pr, kzg.blob.from_string(chr(ord(data[0]) ^ 1), 0))
+    ok = ok and refuted
     print(f"# commit {commit_ms:.1f} ms, proof {proof_ms:.1f} ms, "
-          f"verify_ok={ok}", file=sys.stderr)
+          f"verify_ok={ok} (incl. refutation)", file=sys.stderr)
     if not ok:
         print(json.dumps({"metric": "bn254_deg4096_commit_plus_proof",
                           "value": -1, "unit": "ms", "vs_baseline": 0,

@@ -287,20 +287,41 @@ class MSMEngine:
         _, cin_tm = jax.lax.scan(body2, J.infinity((W,)), (hs_tm, tails_tm))
         carry_in = {k: jnp.moveaxis(v, 0, -1) for k, v in cin_tm.items()}
 
-        # correct each chunk's leading run (positions before its first
-        # run start) by the carried-in sum; chunk 0's carry is infinity
-        firstrun = jnp.cumsum(
-            seg_start.reshape(W, CH, CL).astype(jnp.int32), axis=-1) == 0
-        cin_b = {k: jnp.broadcast_to(
-            v[..., None], v.shape + (CL,)) for k, v in carry_in.items()}
+        # correct each chunk's LEADING run by the carried-in sum — but only
+        # at its segment-end position, the one slot whose value scatters
+        # into a bucket. The leading run ends at fs-1 where fs = index of
+        # the chunk's first run start (CL if none -> position CL-1, the
+        # chunk tail; harmless when that isn't a segment end, since non-end
+        # positions never scatter). fs == 0 means the chunk opens a new run
+        # and carries nothing in. This is a (W, CH)-lane point-add — 1056
+        # lanes at deg-4096 — instead of a broadcast add over all W*CH*CL
+        # lanes; the monolithic version's 811k-lane fused muls were the one
+        # call-site that MISCOMPILED on the v5e toolchain (round-4 lane-
+        # range bisection: same kernel body exact standalone at the same
+        # lane/grid sizes; excluding exactly that site made the pipeline
+        # match the oracle), and its unfused form OOMs XLA's scheduler.
+        ss = seg_start.reshape(W, CH, CL)
+        fs = jnp.argmax(ss, axis=-1).astype(jnp.int32)      # 0 if none
+        fs = jnp.where(has_start, fs, CL)
+        need = fs >= 1
+        lead_end = jnp.maximum(fs - 1, 0)                   # (W, CH)
         sums_c = {k: from_tm(sums_tm[k]).reshape(
             v.shape[:-1] + (CH, CL)) for k, v in P_sorted.items()}
 
-        def corr(ci, s, m):
-            return J.select(m, J.add(ci, s), s)
+        def take_last(leaf, idx):
+            ib = jnp.broadcast_to(
+                idx.reshape((1,) * (leaf.ndim - 3) + idx.shape + (1,)),
+                leaf.shape[:-1] + (1,))
+            return jnp.take_along_axis(leaf, ib, axis=-1)[..., 0]
 
-        sums3 = fuse_composite(corr, (cin_b, sums_c, firstrun),
-                               batch_ndim=3)
+        sel = {k: take_last(v, lead_end) for k, v in sums_c.items()}
+        fixed = J.add(carry_in, sel)                        # (W, CH) batch
+        fixed = J.select(need, fixed, sel)
+        onehot = (jnp.arange(CL, dtype=jnp.int32)[None, None, :]
+                  == lead_end[..., None]) & need[..., None]  # (W, CH, CL)
+        sums3 = {k: jnp.where(
+            onehot.reshape((1,) * (v.ndim - 3) + onehot.shape),
+            fixed[k][..., None], v) for k, v in sums_c.items()}
         sums = {k: v.reshape(v.shape[:-2] + (npad,))
                 for k, v in sums3.items()}
 
