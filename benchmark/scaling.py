@@ -1,0 +1,147 @@
+"""MSM scaling over a device mesh (BASELINE config 5 proxy).
+
+BASELINE.json asks for >=80% MSM scaling efficiency to 2 hosts. Real
+multi-host hardware is not reachable from this environment (one tunneled
+chip), so this harness produces the honest single-box proxy on the
+virtual-CPU mesh (XLA_FLAGS=--xla_force_host_platform_device_count=N):
+the BLS12-381 degree-65536 sharded commit MSM at mesh sizes 1/2/4/8, with
+per-device work accounting.
+
+Interpretation on a virtual mesh: all D "devices" timeshare the same
+physical cores, so *ideal* strong scaling is FLAT wall time (total work is
+constant; each device holds n/D coefficients). Sharding overhead —
+all_gather of D partial points plus the log-D combine tree — shows up as
+T(D)/T(1) > 1. The committed table reports T(D), per-device shard size,
+gathered bytes, and the overhead ratio; on real pods the same program's
+per-device time is T_compute(n/D) + the measured overhead, because the
+shard_map program is identical (parallel/distributed.py swaps in the
+multi-host mesh).
+
+Usage:
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python benchmark/scaling.py [--curve BLS12381] [--n 65536] \
+      [--out benchmark/results/scaling_virtualmesh.json]
+"""
+
+import argparse
+import json
+import os
+import random
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--curve", default="BLS12381")
+    ap.add_argument("--n", type=int, default=65536)
+    ap.add_argument("--meshes", default="1,2,4,8")
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    if jax.default_backend() == "cpu":
+        jax.config.update("jax_disable_most_optimizations", True)
+
+    from kzg_tpu.context import get_context
+    from kzg_tpu.fields.mont import ints_to_limbs
+    from kzg_tpu.ops.msm import MSMEngine
+    from kzg_tpu.parallel.distributed import global_mesh
+    from kzg_tpu.parallel.sharded import sharded_msm
+    from kzg_tpu.refmodel.model import G1
+
+    ctx = get_context(args.curve)
+    cp = ctx.cp
+    n = args.n
+    random.seed(3)
+
+    # points: random multiples of G computed DEVICE-side (oracle muls for
+    # 65536 points would take hours host-side) — k_i * G via the setup
+    # bit-table kernel, then exact spot-checks on a few indices
+    ks = [random.randrange(1, cp.r) for _ in range(n)]
+    nb = cp.r.bit_length()
+    og = G1(cp)
+    bits = np.zeros((nb, n), dtype=np.bool_)
+    for i, k in enumerate(ks):
+        for j in range(nb):
+            bits[j, i] = (k >> j) & 1
+    # shared doubling table
+    t1 = []
+    P1 = og.gen
+    for _ in range(nb):
+        t1.append(P1)
+        P1 = og.add(P1, P1)
+    table = {kk: jnp.moveaxis(v, -1, 0)
+             for kk, v in ctx.g1.encode_points(t1).items()}
+    pts = jax.jit(lambda b: ctx.g1.mul_bits_table(b, table))(
+        jnp.asarray(bits))
+    jax.block_until_ready(pts)
+
+    scalars = [random.randrange(cp.r) for _ in range(n)]
+    sraw = jnp.asarray(ints_to_limbs(scalars, ctx.fr.L))
+
+    # exact expected total (python): sum k_i * s_i mod r, one oracle mul
+    e = 0
+    for k, s in zip(ks, scalars):
+        e = (e + k * s) % cp.r
+    expect = og.mul(e, og.gen)
+
+    strat = "chunked" if jax.default_backend() == "tpu" else "scan"
+    eng = MSMEngine(ctx.g1, ctx.fr, cp.r, strategy=strat)
+    point_bytes = 3 * 2 * cp.modbytes          # x, y, z uncompressed-ish
+
+    rows = []
+    t_base = None
+    for D in [int(x) for x in args.meshes.split(",")]:
+        if D > len(jax.devices()):
+            print(f"# skip D={D}: only {len(jax.devices())} devices")
+            continue
+        mesh = global_mesh(max_devices=D)
+        run = jax.jit(sharded_msm(eng, mesh))
+        out = run(sraw, pts)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(args.iters):
+            out = run(sraw, pts)
+            jax.block_until_ready(out)
+        dt = (time.time() - t0) / args.iters
+        got = ctx.g1.decode_points(
+            {k: v[..., None] for k, v in out.items()})[0]
+        exact = got == expect
+        if t_base is None:
+            t_base = dt
+        rows.append({
+            "devices": D,
+            "per_device_coeffs": n // D,
+            "time_ms": round(dt * 1e3, 1),
+            "overhead_vs_D1": round(dt / t_base, 3),
+            "gathered_bytes": D * point_bytes,
+            "exact": bool(exact),
+        })
+        print(f"D={D}: {dt*1e3:9.1f} ms  shard={n//D:6d} coeffs/dev  "
+              f"overhead x{dt/t_base:.3f}  exact={exact}", flush=True)
+
+    result = {
+        "curve": args.curve, "n": n, "strategy": strat,
+        "backend": jax.default_backend(),
+        "virtual_mesh": jax.default_backend() != "tpu",
+        "note": ("virtual CPU mesh: ideal strong scaling is FLAT time "
+                 "(devices timeshare the same cores); overhead_vs_D1 is "
+                 "the sharding cost a real pod would add on top of "
+                 "T_compute(n/D)"),
+        "rows": rows,
+    }
+    if args.out:
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"# wrote {args.out}")
+    return 0 if all(r["exact"] for r in rows) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -278,6 +278,16 @@ class PolyEngine:
             g = self.conv(g, t)[..., :prec]
         return g
 
+    def _geom_series(self, r0, m):
+        """[1, r, r^2, ..., r^(m-1)] along the last axis (r0: (L, *B, 1)
+        Montgomery); log2(m) full-width muls via block doubling."""
+        F = self.F
+        P = F.ones(r0.shape[1:-1] + (1,))
+        while P.shape[-1] < m:
+            step = F.mul(P[..., -1:], r0)                  # r^len
+            P = jnp.concatenate([P, F.mul(P, step)], axis=-1)
+        return P[..., :m]
+
     def divmod(self, a, b):
         """(q, rem) with a = q*b + rem, deg rem < deg b (static lengths;
         leading coeff of b must be invertible — ours are monic)."""
@@ -287,7 +297,18 @@ class PolyEngine:
             return (jnp.zeros(a.shape[:-1] + (1,), a.dtype),
                     self._pad_last(a, max(1, nb - 1)))
         nq = na - nb + 1
-        binv = self.inv_series(b[..., ::-1], nq)
+        if nb == 2:
+            # monic degree-1 divisor (x - r): rev(b) = [1, -r], whose series
+            # inverse is the geometric series in r — 12 doubling muls
+            # instead of a full Newton iteration (the single-point proof's
+            # quotient, the reference's hottest proof shape,
+            # trusted_setup.cpp:225 with chunk_length 1)
+            # r = -c0; c0 may carry lazy value (~100p from the vanishing
+            # leaves' lifted neg), so re-reduce then negate exactly
+            root = F.neg(F.freshen(b[..., 0:1]), 2, lazy=False)
+            binv = self._geom_series(root, nq)
+        else:
+            binv = self.inv_series(b[..., ::-1], nq)
         qr = self.conv(a[..., ::-1][..., :nq], binv)[..., :nq]
         q = qr[..., ::-1]
         if nb == 1:

@@ -87,6 +87,14 @@ def test_divmod_exact(curve):
     q, rem = jax.jit(pe.divmod)(pe.encode(av), pe.encode(bv))
     assert pe.decode(q) == qv
     assert pe.decode(rem) == rv
+    # monic degree-1 divisor: the geometric-series fast path (the
+    # single-point proof's quotient shape)
+    b1 = [random.randrange(r), 1]
+    a1 = _conv_oracle(qv, b1, r)
+    a1 = [(x + (rv[0] if i == 0 else 0)) % r for i, x in enumerate(a1)]
+    q1, rem1 = jax.jit(pe.divmod)(pe.encode(a1), pe.encode(b1))
+    assert pe.decode(q1) == qv
+    assert pe.decode(rem1) == [rv[0]]
 
 
 @pytest.mark.parametrize("curve", ["BN254", "BLS12381"])
