@@ -20,9 +20,12 @@ Usage: python benchmark/roofline.py [--out roofline.json]
 
 import argparse
 import json
+import os
 import random
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -83,6 +86,7 @@ def main(argv=None):
 
     from kzg_tpu.context import get_context
     from kzg_tpu.fields.mont import ints_to_limbs
+    from kzg_tpu.ops.poly import _fused
     from kzg_tpu.refmodel.model import G1 as OracleG1
 
     ctx = get_context(args.curve)
@@ -114,7 +118,7 @@ def main(argv=None):
     base = F.encode([random.randrange(r) for _ in range(4096)])
     A = jnp.tile(base, (1, n // 4096))
     B = jnp.roll(A, 1, axis=1)
-    mul = jax.jit(F.mul)
+    mul = jax.jit(_fused(F.mul))   # production path: Pallas-fused
     secs = timeit(mul, (A, B))
     one = F.encode([1, 2])
     ops = count_lane_ops(F._mul_impl, one, one) // 2
@@ -132,7 +136,7 @@ def main(argv=None):
     npts = max(1 << 17, k)
     Pt = {kk: jnp.tile(v, (1, npts // k)) for kk, v in Pb.items()}
     Qt = {kk: jnp.roll(v, 3, axis=-1) for kk, v in Pt.items()}
-    addf = jax.jit(J.add)
+    addf = jax.jit(_fused(J.add))  # production path: Pallas-fused muls
     secs = timeit(addf, (Pt, Qt))
     small = {kk: v[..., :2] for kk, v in Pb.items()}
     ops = count_lane_ops(J.add, small, small) // 2
@@ -142,7 +146,7 @@ def main(argv=None):
     # ---- MSM (shifted-base Pippenger, deg 4096) --------------------------
     import kzg_tpu as kzg
     kzg.init(args.curve)
-    ts = kzg.trusted_setup.from_secret(0xFEED, 4097)
+    ts = kzg.trusted_setup.from_secret(0xFEED, 5000)
     msg = "".join(chr(random.randrange(32, 127)) for _ in range(4097))
     p = kzg.poly.from_blob(kzg.blob.from_string(msg))
     ts.create_commit(p)                     # compile

@@ -20,9 +20,12 @@ available setup unless KZG_ALLOW_HUGE=1.
 
 import argparse
 import json
+import os
 import random
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import kzg_tpu as kzg
 
@@ -39,13 +42,17 @@ def _rand_string(n, seed=0):
     return "".join(chr(random.randrange(32, 127)) for _ in range(n))
 
 
-def bench_setup(curve, max_terms):
+def bench_setup(curve, max_terms, rows=None):
     print(f"=== [{curve}] Trusted setup ===")
     terms = 128
     while terms <= max_terms:
+        kzg.trusted_setup(terms)          # compile warmup (cached per size)
         t0 = time.time()
         kzg.trusted_setup(terms)
-        print(f"Terms: {terms:5d} | Setup: {1e3 * (time.time() - t0):9.3f}ms")
+        ms = 1e3 * (time.time() - t0)
+        print(f"Terms: {terms:5d} | Setup: {ms:9.3f}ms", flush=True)
+        if rows is not None:
+            rows.append({"op": "setup", "terms": terms, "ms": round(ms, 3)})
         terms *= 2
 
 
@@ -57,7 +64,7 @@ def _timed(f, n_iter=1):
     return out, 1e3 * (time.time() - t0) / n_iter
 
 
-def bench_single(curve, ts, max_degree):
+def bench_single(curve, ts, max_degree, rows=None):
     print(f"=== [{curve}] Single proofs (setup 5000) ===")
     degree = 128
     while degree <= max_degree:
@@ -70,11 +77,16 @@ def bench_single(curve, ts, max_degree):
         mark = "ok" if ok else "FAIL"
         print(f"Degree: {degree:8d} | Commit: {commit_ms:10.3f}ms | "
               f"Proof: {proof_ms:10.3f}ms | Verify: {verify_ms:10.3f}ms | "
-              f"{mark}")
+              f"{mark}", flush=True)
+        if rows is not None:
+            rows.append({"op": "single", "degree": degree,
+                         "commit_ms": round(commit_ms, 3),
+                         "proof_ms": round(proof_ms, 3),
+                         "verify_ms": round(verify_ms, 3), "ok": bool(ok)})
         degree *= 2
 
 
-def bench_multi(curve, ts, max_points):
+def bench_multi(curve, ts, max_points, rows=None):
     print(f"=== [{curve}] Multi proofs (degree 4096) ===")
     data = _rand_string(4096, seed=7)
     p = kzg.poly.from_blob(kzg.blob.from_string(data))
@@ -87,7 +99,11 @@ def bench_multi(curve, ts, max_points):
         mark = "ok" if ok else "FAIL"
         print(f"Degree: 4096 | Proofs: {points:7d} | "
               f"Proof: {proof_ms:8.3f}ms | Verify: {verify_ms:8.3f}ms | "
-              f"{mark}")
+              f"{mark}", flush=True)
+        if rows is not None:
+            rows.append({"op": "multi", "points": points,
+                         "proof_ms": round(proof_ms, 3),
+                         "verify_ms": round(verify_ms, 3), "ok": bool(ok)})
         points *= 2
 
 
@@ -98,19 +114,29 @@ def main():
     ap.add_argument("--setup", type=int, default=5000)
     ap.add_argument("--skip-setup-sweep", action="store_true")
     ap.add_argument("--benchmark-common", action="store_true")
+    ap.add_argument("--json-out", default=None,
+                    help="write rows to this JSON file (per-curve dict)")
     args = ap.parse_args()
 
+    allrows = {}
     for curve in args.curves.split(","):
         kzg.init(curve)
+        rows = allrows.setdefault(curve, [])
         if not args.skip_setup_sweep:
-            bench_setup(curve, args.max_degree)
+            bench_setup(curve, args.max_degree, rows)
         t0 = time.time()
         ts = kzg.trusted_setup.from_secret(0xD15EA5E, args.setup)
-        print(f"(setup {args.setup} terms: {time.time() - t0:.1f}s)")
-        bench_single(curve, ts, args.max_degree)
-        bench_multi(curve, ts, min(args.max_degree, args.setup - 1))
+        print(f"(setup {args.setup} terms: {time.time() - t0:.1f}s)",
+              flush=True)
+        bench_single(curve, ts, args.max_degree, rows)
+        bench_multi(curve, ts, min(args.max_degree, args.setup - 1), rows)
+        if args.json_out:
+            os.makedirs(os.path.dirname(args.json_out) or ".",
+                        exist_ok=True)
+            with open(args.json_out, "w") as f:
+                json.dump(allrows, f, indent=1)
         if args.benchmark_common:
-            import os
+
             terms = 10_429_000 if os.environ.get("KZG_ALLOW_HUGE") else \
                 args.setup
             print(f"=== [{curve}] Benchmark common (setup {terms}) ===")

@@ -355,8 +355,14 @@ class Field:
     def _mul_impl(self, a, b):
         """Montgomery product core (inputs already broadcast). Two carry
         passes bring the 8-bit limbs under ~400, so the u32 outer products
-        below are exact (N8 * 400^2 < 2^32) and, after two more passes,
-        every f32 dot product is exact (255 * 320 * N8 < 2^24)."""
+        below are exact (N8 * 400^2 < 2^32). THREE passes precede each f32
+        dot so its variable operand is <= 256 — exactly representable in
+        ONE bf16 mantissa — making the dot exact under ANY matmul
+        precision: with only two passes the operand reaches ~289 (9 bits),
+        which is exact only while XLA honors the bf16x3+ HIGHEST path, and
+        a round-4 TPU finding showed shape-dependent divergence there (the
+        G2 comb tree was wrong at some batch widths and right at others
+        with identical code)."""
         a8 = self._pass8(self._pass8(self._to8(a)))      # limbs <= ~400
         b8 = self._pass8(self._pass8(self._to8(b)))
         N8 = self.N8
@@ -379,8 +385,8 @@ class Field:
         C = jnp.sum(Of.reshape((N8, 2 * N8 - 1) + batch).astype(jnp.int32),
                     axis=0).astype(jnp.uint32)
         C = jnp.pad(C, [(0, 1)] + [(0, 0)] * nb)          # (2N8, *batch)
-        for _ in range(2):
-            C = self._pass8(C)                            # limbs <= ~320
+        for _ in range(3):
+            C = self._pass8(C)                            # limbs <= 256
         # m = (C mod R) * p' mod R  — constant matmul, f32-exact (< 2^24)
         # (u32<->f32 casts go via i32: Mosaic has no direct u32/f32 cast and
         # every value here is < 2^24, so the i32 hop is exact).
@@ -396,8 +402,8 @@ class Field:
         m = jnp.dot(m_lo_j, Cf, preferred_element_type=jnp.float32,
                     precision=HI)
         m = m.astype(jnp.int32).astype(jnp.uint32).reshape(N8, *batch)
-        for _ in range(2):
-            m = self._pass8(m)                            # limbs <= ~320, mod R
+        for _ in range(3):
+            m = self._pass8(m)                            # limbs <= 256, mod R
         mp = jnp.dot(m_p_j,
                      m.astype(jnp.int32).astype(jnp.float32).reshape(
                          N8, *flat),

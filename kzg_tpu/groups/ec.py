@@ -230,6 +230,63 @@ class Curve:
                          jnp.logical_and(pi, qi), both_fin)
 
     # ------------------------------------------------------------------
+    # fixed-base comb: window tables + digit-gather multiplication
+    # ------------------------------------------------------------------
+    def window_table(self, dbl_table, n_windows: int, wbits: int = 8):
+        """Doubling table (leading axis j: 2^j G) -> comb table with batch
+        (n_windows, 2^wbits): entry [w, d] = d * 2^(wbits*w) * G.
+
+        One 2^wbits-step scan over n_windows lanes — built once per curve
+        context and reused by every trusted-setup generation."""
+        S = {k: v[jnp.asarray([wbits * w for w in range(n_windows)])]
+             for k, v in dbl_table.items()}            # scan layout (W,...)
+        S = {k: jnp.moveaxis(v, 0, -1) for k, v in S.items()}  # batch (W,)
+
+        def body(acc, _):
+            nxt = self.add(acc, S)
+            return nxt, nxt
+
+        inf = self.infinity((n_windows,))
+        _, rows = jax.lax.scan(body, inf, None, length=(1 << wbits) - 1)
+        # rows: leading axis d-1 (d = 1..255); prepend infinity for d = 0
+        out = {}
+        for k in ("x", "y", "z"):
+            r0 = jnp.moveaxis(rows[k], 0, -1)          # (.., W, 255)
+            out[k] = jnp.concatenate([inf[k][..., None], r0], axis=-1)
+        return out                                      # batch (W, 256)
+
+    def mul_digits_table(self, digits, wtab):
+        """sum_w digits[w, i] * 2^(8w) G for each i, via the comb table.
+
+        digits: uint32 (W, n) byte digits; wtab: window_table output with
+        batch (W, 256). One packed flat gather (W*n rows) + a log2(W)
+        pairwise tree of complete adds — ~31 adds per element instead of
+        the ~254-step select+add bit scan (8-30x faster generation)."""
+        W, n = digits.shape
+        flat = (jnp.arange(W, dtype=jnp.int32)[:, None] * 256
+                + digits.astype(jnp.int32)).reshape(-1)
+        leaves = [wtab[k] for k in ("x", "y", "z")]
+        sizes = [int(np.prod(v.shape[:-2], dtype=np.int64)) for v in leaves]
+        packed = jnp.concatenate(
+            [v.reshape(c, W * 256) for v, c in zip(leaves, sizes)], axis=0)
+        g = jnp.take(packed, flat, axis=1).reshape(-1, W, n)
+        P, off = {}, 0
+        for k, v, c in zip(("x", "y", "z"), leaves, sizes):
+            P[k] = g[off:off + c].reshape(v.shape[:-2] + (W, n))
+            off += c
+        m = W
+        while m > 1:
+            half = (m + 1) // 2
+            A = {k: v[..., :m - half, :] for k, v in P.items()}
+            B = {k: v[..., half:m, :] for k, v in P.items()}
+            top = {k: v[..., m - half:half, :] for k, v in P.items()}
+            S = self.add(A, B)
+            P = {k: jnp.concatenate([S[k], top[k]], axis=-2)
+                 for k in ("x", "y", "z")}
+            m = half
+        return {k: v[..., 0, :] for k, v in P.items()}
+
+    # ------------------------------------------------------------------
     # scalar multiplication with a shared base table
     # ------------------------------------------------------------------
     def mul_bits_table(self, bits, table):
@@ -239,7 +296,9 @@ class Curve:
         axis n_bits (e.g. T_j = 2^j G). Returns point batch of shape batch.
         Used by trusted-setup generation (the reference does one full
         PAIR_G1mul per element instead, trusted_setup.cpp:123-135)."""
-        batch = bits.shape[1:]
+        nb = bits.shape[0]
+        table = {k: v[:nb] for k, v in table.items()}  # comb tables are
+        batch = bits.shape[1:]                         # padded past n_bits
         acc = self.infinity(batch)
 
         def body(acc, ins):

@@ -258,7 +258,10 @@ class PairingEngine:
 
     def _gen2_dev(self):
         if not hasattr(self, "_g2gen_cache"):
-            self._g2gen_cache = {
-                k: v[..., 0] for k, v in
-                self.g2.encode_points([self.cp.g2]).items()}
+            # eager numpy->device constant: building this lazily inside a
+            # trace would cache a TRACER and poison every later retrace
+            with jax.ensure_compile_time_eval():
+                self._g2gen_cache = {
+                    k: jnp.asarray(v[..., 0]) for k, v in
+                    self.g2.encode_points([self.cp.g2]).items()}
         return self._g2gen_cache

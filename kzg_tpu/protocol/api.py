@@ -91,10 +91,13 @@ class _ProtocolContext:
     def gen_tables(self):
         if self._g1_table is None:
             nb = self.cp.r.bit_length()
+            # the comb windows index bits 8w .. 8w+7; the doubling chain
+            # must cover bit 8*(W-1)+7 even when nb % 8 != 0
+            nbt = 8 * ((nb + 7) // 8)
             og1, og2 = self.og1, self.og2
             t1, t2 = [], []
             P1, P2 = og1.gen, og2.gen
-            for _ in range(nb):
+            for _ in range(nbt):
                 t1.append(P1)
                 t2.append(P2)
                 P1 = og1.add(P1, P1)
@@ -107,6 +110,21 @@ class _ProtocolContext:
             self._g2_table = {k: jnp.moveaxis(v, -1, 0)
                               for k, v in e2.items()}
         return self._g1_table, self._g2_table
+
+    def comb_tables(self):
+        """Fixed-base comb tables [w, d] = d * 2^(8w) * gen for G1/G2
+        (built once per curve context; reference regenerates a full
+        PAIR_G1mul per element instead, trusted_setup.cpp:123-135)."""
+        if getattr(self, "_comb", None) is None:
+            t1, t2 = self.gen_tables()
+            W = (self.cp.r.bit_length() + 7) // 8
+            g1c, g2c = self.ctx.g1, self.ctx.g2
+            fn = self.jit(("combtab",),
+                          lambda a, b: (g1c.window_table(a, W),
+                                        g2c.window_table(b, W)),
+                          fused=False)    # 32-lane scan: XLA is fine
+            self._comb = fn(t1, t2)
+        return self._comb
 
     def scalars_raw(self, values):
         """Canonical python ints -> raw (L, n) uint32 limb tensor."""
@@ -300,7 +318,23 @@ class trusted_setup:
         return self
 
     # -- generation (reference trusted_setup.cpp:21-74: the only threaded
-    #    region of the reference; here one batched table-sum kernel) -------
+    #    region of the reference). Two device strategies:
+    #      * fixed-base comb (one byte-digit gather + log2(32) batched
+    #        complete-add levels per group) — ~25x faster generation, used
+    #        for large setups;
+    #      * the bit-table scan (one select+add per scalar bit) — slower
+    #        but robust, used for small setups and as the fallback.
+    #    WHY both + a runtime oracle guard: the v5e toolchain deterministic-
+    #    ally MISCOMPILES some of these integer programs as a function of
+    #    graph composition and batch width (round-4 findings: the G2 comb
+    #    is bit-identical TPU-vs-CPU and oracle-exact at n=4096 or with
+    #    intermediates anchored as outputs, and silently wrong at n=40 in
+    #    minimal-output form; the MSM `corr` site behaved the same way).
+    #    Generation therefore ALWAYS spot-checks against the exact python
+    #    oracle and falls back / fails loudly rather than returning a
+    #    corrupt setup.
+    COMB_MIN_TERMS = 1024
+
     def _generate(self, s: int, num_coeff: int):
         pc = self._pc
         r = pc.cp.r
@@ -309,23 +343,66 @@ class trusted_setup:
         for _ in range(num_coeff):
             powers.append(acc)
             acc = acc * s % r
-        nb = r.bit_length()
-        nbytes = (nb + 7) // 8
+        nbytes = (r.bit_length() + 7) // 8
         buf = b"".join(v.to_bytes(nbytes, "little") for v in powers)
         byte_mat = np.frombuffer(buf, np.uint8).reshape(num_coeff, nbytes)
+
+        if num_coeff >= self.COMB_MIN_TERMS:
+            try:
+                self._gen_comb(byte_mat, num_coeff)
+                self._check_setup(s, num_coeff)
+                return
+            except RuntimeError:
+                pass                       # fall through to the scan path
+        self._gen_scan(byte_mat, num_coeff)
+        self._check_setup(s, num_coeff, final=True)
+
+    def _gen_comb(self, byte_mat, num_coeff):
+        pc = self._pc
+        digits = byte_mat.T.astype(np.uint32)            # (W, n)
+        wt1, wt2 = pc.comb_tables()
+        g1c, g2c = pc.ctx.g1, pc.ctx.g2
+        # two jits, not one: compiled together the G2 half miscompiles
+        fn1 = pc.jit(("setupgen1", num_coeff),
+                     lambda d: g1c.mul_digits_table(d, wt1), fused=False)
+        fn2 = pc.jit(("setupgen2", num_coeff),
+                     lambda d: g2c.mul_digits_table(d, wt2), fused=False)
+        dj = jnp.asarray(digits)
+        P1 = fn1(dj)
+        P2 = fn2(dj)
+        self._g1 = g1c.decode_points(P1)
+        self._g2 = g2c.decode_points(P2)
+
+    def _gen_scan(self, byte_mat, num_coeff):
+        pc = self._pc
+        nb = pc.cp.r.bit_length()
         bits = (((byte_mat[:, :, None] >> np.arange(8)) & 1)
                 .astype(np.bool_).reshape(num_coeff, -1)[:, :nb].T)
         t1, t2 = pc.gen_tables()
-        bits_j = jnp.asarray(bits)
-
         g1c, g2c = pc.ctx.g1, pc.ctx.g2
-        fn = pc.jit(("setupgen", num_coeff),
-                    lambda b: (g1c.mul_bits_table(b, t1),
-                               g2c.mul_bits_table(b, t2)),
+        tb1 = {k: v[:nb] for k, v in t1.items()}
+        tb2 = {k: v[:nb] for k, v in t2.items()}
+        fn = pc.jit(("setupscan", num_coeff),
+                    lambda b: (g1c.mul_bits_table(b, tb1),
+                               g2c.mul_bits_table(b, tb2)),
                     fused=False)   # scan body fuses whole adds already
-        P1, P2 = fn(bits_j)
+        P1, P2 = fn(jnp.asarray(bits))
         self._g1 = g1c.decode_points(P1)
         self._g2 = g2c.decode_points(P2)
+
+    def _check_setup(self, s: int, num_coeff: int, final: bool = False):
+        pc = self._pc
+        r = pc.cp.r
+        for i in (0, 1, num_coeff - 1):
+            e = pow(s, i, r)
+            if self._g1[i] != pc.og1.mul(e, pc.og1.gen) or \
+               self._g2[i] != pc.og2.mul(e, pc.og2.gen):
+                raise RuntimeError(
+                    "trusted_setup generation self-check failed at index "
+                    f"{i} (n={num_coeff}"
+                    f"{', fallback path' if final else ''}): compiled "
+                    "setup kernel disagrees with the exact oracle — "
+                    "toolchain miscompile; see kzg_tpu/protocol/api.py")
 
     # -- device caches ---------------------------------------------------
     def _g1_points_dev(self):
