@@ -505,19 +505,47 @@ class Field:
     # inversion / exponentiation
     # ------------------------------------------------------------------
     def pow_const(self, a, e: int):
-        """a^e for a fixed python-int exponent (square-and-multiply scan)."""
+        """a^e for a fixed python-int exponent. Long exponents (inversion's
+        p-2) use a 4-bit-window scan — 64 steps of 4 squarings + one
+        table-gather multiply (~330 sequential muls) instead of the plain
+        double-and-add's ~2 muls per bit (~508): the scans are latency-bound
+        at the pairing/affinize batch sizes, so sequential mul count is the
+        whole cost."""
         if e == 0:
             return self.ones(a.shape[1:])
-        bits = jnp.asarray(
-            np.array([(e >> i) & 1 for i in range(e.bit_length() - 1, -1, -1)],
-                     dtype=np.bool_))
+        if e.bit_length() <= 16:
+            bits = jnp.asarray(np.array(
+                [(e >> i) & 1 for i in range(e.bit_length() - 1, -1, -1)],
+                dtype=np.bool_))
 
-        def body(acc, bit):
-            acc = self.sqr(acc)
-            acc = self.select(bit, self.mul(acc, a), acc)
-            return acc, None
+            def body(acc, bit):
+                acc = self.sqr(acc)
+                acc = self.select(bit, self.mul(acc, a), acc)
+                return acc, None
 
-        acc, _ = jax.lax.scan(body, a, bits[1:])
+            acc, _ = jax.lax.scan(body, a, bits[1:])
+            return acc
+        # 4-bit windows, MSB first
+        nd = (e.bit_length() + 3) // 4
+        digs = np.array([(e >> (4 * (nd - 1 - i))) & 0xF for i in range(nd)],
+                        dtype=np.int32)
+        # table a^0 .. a^15; a == 0 still yields 0^e == 0 because the top
+        # digit of e is nonzero: acc starts (and stays) at 0 on zero lanes
+        tab = [self.ones(a.shape[1:]), a]
+        sq = self.sqr(a)
+        tab.append(sq)                       # a^2
+        cur = sq
+        for _ in range(13):
+            cur = self.mul(cur, a)
+            tab.append(cur)
+        tabs = jnp.stack(tab, axis=0)        # (16, L, *batch)
+
+        def wbody(acc, d):
+            for _ in range(4):
+                acc = self.sqr(acc)
+            return self.mul(acc, tabs[d]), None
+
+        acc, _ = jax.lax.scan(wbody, tabs[digs[0]], jnp.asarray(digs[1:]))
         return acc
 
     def inv(self, a):

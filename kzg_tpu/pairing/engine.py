@@ -8,14 +8,21 @@ src/trusted_setup.cpp:241-253) with a TPU-shaped dataflow:
     groups.ec (no inversions anywhere in the loop);
   * line functions are evaluated in *sparse* Fp12 form (three Fp2
     coefficients at twist-type-dependent s-positions); common Fp2/Fp6
-    factors are dropped (denominator elimination — killed by the easy part
-    of the final exponentiation since [Fp12 : Fp6] = 2);
+    factors are dropped (denominator elimination — killed by the final
+    exponentiation since [Fp12 : Fp6] = 2);
   * the loop runs as one lax.scan over the static bit pattern of |6u+2|
     (BN) or |u| (BLS12), computing the add-step unconditionally and
-    selecting by bit — branchless;
-  * the final exponentiation is the easy part (conj / inv / two Frobenii)
-    followed by a joint 4-digit base-p square-and-multiply scan of the hard
-    exponent (p^4 - p^2 + 1)/r.
+    selecting by bit — branchless. The scan body is ROUND-FUSED: the
+    group doubling and its tangent line share multiplication rounds (one
+    stacked Fp2 mul per round, fields.quadratic.Fp2.mul_many), because at
+    pairing batch sizes the device is latency-bound — sequential op count,
+    not lanes, is the whole cost;
+  * the pairing EQUALITY check skips the final exponentiation's Fp12
+    inversion entirely: with u = m_a * conj(m_b), FE(u) == 1 iff
+    conj(u)^E == u^E for E = (p^6 + 1)/r (since u^(p^6-1) = conj(u)/u and
+    (p^12-1)/r = (p^6-1) * E). Both sides run as ONE 2-lane joint base-p
+    digit exponentiation against a 64-entry Frobenius-subset table — no
+    easy part, no Fermat inversion chain.
 
 The twist Frobenius endomorphism psi (needed for the two BN tail addition
 steps) is *derived numerically at build time* from the oracle tower and
@@ -67,20 +74,24 @@ class PairingEngine:
         self.psi_cx_c = self.f2.encode([cx])[..., 0]
         self.psi_cy_c = self.f2.encode([cy])[..., 0]
 
-        # ---- hard-part digits of (p^4 - p^2 + 1)/r in base p ----
-        # Stored as one 4-bit subset index per exponent bit position
-        # (MSB first): row j selects which of the four Frobenius powers
-        # g_i = f^(p^i) are multiplied in after the j-th squaring. The
-        # final_exp scan gathers the precomputed subset product from a
-        # 16-entry table, so each step is one squaring + one Fp12 mul
-        # instead of four select-guarded muls.
-        digs = self._orc.hard_digits              # 4 ints < p
+        # ---- joint base-p digits of E = (p^6 + 1)/r ----
+        # One 6-bit subset index per exponent bit position (MSB first):
+        # row j selects which of the six Frobenius powers g_i = u^(p^i)
+        # multiply in after the j-th squaring (see _unity_check).
+        E = (p ** 6 + 1) // cp.r
+        assert E * cp.r == p ** 6 + 1, "r must divide p^6 + 1"
+        digs = []
+        t = E
+        for _ in range(6):
+            digs.append(t % p)
+            t //= p
+        assert t == 0
         nbit = max(d.bit_length() for d in digs)
         idx = np.zeros((nbit,), dtype=np.int32)
         for i, d in enumerate(digs):
             for j in range(nbit):
                 idx[nbit - 1 - j] |= ((d >> j) & 1) << i
-        self.hard_idx = idx
+        self.unity_idx = idx
 
         # sparse line s-positions by twist type (see miller())
         self.pos = (0, 1, 3) if cp.twist == "D" else (0, 3, 5)
@@ -136,31 +147,76 @@ class PairingEngine:
                 "z": F2.conj(Q["z"], 32)}
 
     # ------------------------------------------------------------------
-    # line evaluation (sparse)
+    # fused doubling + tangent-line step (RCB15 Alg 9 for a = 0, shared
+    # multiplication rounds with the line coefficients; matches groups.ec
+    # Curve.dbl exactly on the group output)
     # ------------------------------------------------------------------
-    def _line_dbl(self, T, xp_e, yp_e):
-        """Tangent line at projective twist point T, evaluated at affine G1
-        point (xp, yp); returns sparse terms [(pos, c2), ...].
-        N = 3X^2, D = 2YZ; coefficients (D Z) yp, -(N Z) xp, (N X - D Y)."""
+    def _dbl_line(self, T, xp_e, yp_e):
         F2 = self.f2
         X, Y, Z = T["x"], T["y"], T["z"]
-        N = F2.mul_small(F2.sqr(X), 3)
-        D = F2.mul_small(F2.mul(Y, Z), 2)
-        c_y = F2.mul_base(F2.mul(D, Z), yp_e)             # * yp
-        c_x = F2.neg(F2.mul_base(F2.mul(N, Z), xp_e), k=16)
-        c_1 = F2.sub(F2.mul(N, X), F2.mul(D, Y), k=16)
-        return self._assemble(c_y, c_x, c_1)
+        # round 1: all coordinate products for both dbl and tangent line
+        t0, t1, zz, xy, xx = F2.mul_many([
+            (Y, Y), (Y, Z), (Z, Z), (X, Y), (X, X)])
+        N = F2.mul_small(xx, 3)                  # 3 X^2
+        D = F2.mul_small(t1, 2)                  # 2 Y Z
+        e8 = F2.mul_small(t0, 8)
+        # round 2: b3*Z^2 (dbl) + line numerator products
+        t2, DZ, NZ, NX, DY = F2.mul_many([
+            (zz, self._b3()), (D, Z), (N, Z), (N, X), (D, Y)])
+        Y3t = F2.add(t0, t2)
+        t2_9 = F2.mul_small(t2, 3)
+        t0s = F2.sub(t0, t2_9, k=32)
+        # round 3: dbl outputs
+        X3, Z3, Ya, Xa = F2.mul_many([
+            (t2, e8), (t1, e8), (t0s, Y3t), (t0s, xy)])
+        T2 = {"x": F2.mul_small(Xa, 2), "y": F2.add(Ya, X3), "z": Z3}
+        # line: c_y = (D Z) yp, c_x = -(N Z) xp, c_1 = N X - D Y
+        cy, cx = self._mul_base_pair(DZ, yp_e, NZ, xp_e)
+        terms = self._assemble(cy, F2.neg(cx, k=16), F2.sub(NX, DY, k=16))
+        return T2, terms
 
-    def _line_add(self, T, Qx, Qy, xp_e, yp_e):
-        """Chord line through T (projective) and Q (affine twist point)."""
+    def _add_line(self, T, Qx, Qy, xp_e, yp_e):
+        """Fused chord line + complete add T + Q (Q affine twist point,
+        z = 1; RCB15 Alg 7 specialised: matches groups.ec Curve.add with
+        Z2 = 1 on the group output)."""
         F2 = self.f2
-        X, Y, Z = T["x"], T["y"], T["z"]
-        N = F2.sub(Y, F2.mul(Qy, Z), k=16)
-        D = F2.sub(X, F2.mul(Qx, Z), k=16)
-        c_y = F2.mul_base(D, yp_e)
-        c_x = F2.neg(F2.mul_base(N, xp_e), k=16)
-        c_1 = F2.sub(F2.mul(N, Qx), F2.mul(D, Qy), k=32)
-        return self._assemble(c_y, c_x, c_1)
+        X1, Y1, Z1 = T["x"], T["y"], T["z"]
+        # round 1: cross products (line needs Qy Z1, Qx Z1 = parts of it)
+        t0, t1, QxZ, QyZ, QxY, QyX = F2.mul_many([
+            (X1, Qx), (Y1, Qy), (Qx, Z1), (Qy, Z1), (Qx, Y1), (Qy, X1)])
+        t3 = F2.add(QxY, QyX)                    # X1 Y2 + X2 Y1
+        t4 = F2.add(Y1, QyZ)                     # Y1 Z2 + Y2 Z1  (Z2 = 1)
+        t5 = F2.add(X1, QxZ)                     # X1 Z2 + X2 Z1
+        N = F2.sub(Y1, QyZ, k=16)                # line numerator
+        Dd = F2.sub(X1, QxZ, k=16)
+        # round 2: b3 products (group) + line coefficient products
+        Ft, G, NQx, DQy = F2.mul_many([
+            (Z1, self._b3()), (t5, self._b3()), (N, Qx), (Dd, Qy)])
+        Zt = F2.add(t1, Ft)                      # Y1Y2 + 3b Z1Z2
+        M = F2.sub(t1, Ft, k=16)
+        t0_3 = F2.mul_small(t0, 3)
+        # round 3: group outputs
+        X3a, X3b, Y3a, Y3b, Z3a, Z3b = F2.mul_many([
+            (t3, M), (t4, G), (M, Zt), (t0_3, G), (t4, Zt), (t3, t0_3)])
+        T3 = {"x": F2.sub(X3a, X3b, k=16),
+              "y": F2.add(Y3a, Y3b),
+              "z": F2.add(Z3a, Z3b)}
+        cy, cx = self._mul_base_pair(Dd, yp_e, N, xp_e)
+        terms = self._assemble(cy, F2.neg(cx, k=16),
+                               F2.sub(NQx, DQy, k=32))
+        return T3, terms
+
+    def _b3(self):
+        """Twist constant 3*b2 as an Fp2 tensor (broadcast by mul_many)."""
+        return self.g2._b3
+
+    def _mul_base_pair(self, a2, c_a, b2, c_b):
+        """Two Fp2-by-base products as one stacked base mul round."""
+        F2 = self.f2
+        st = jnp.stack([a2, b2], axis=2)              # (2, L, 2, *batch)
+        ce = jnp.stack([c_a, c_b], axis=1)            # (L, 2, *batch)
+        out = F2.mul_base(st, ce)
+        return out[:, :, 0], out[:, :, 1]
 
     def _assemble(self, c_y, c_x, c_1):
         """Place the three Fp2 coefficients at twist-dependent s-positions.
@@ -173,9 +229,10 @@ class PairingEngine:
 
     # ------------------------------------------------------------------
     def miller(self, Q, P_affine):
-        """Miller loop; Q = projective twist point batch (any batch shape,
-        broadcast against P), P_affine = (xp, yp) base-field tensors
-        (L, *batch). Returns Fp12 with the same batch."""
+        """Miller loop; Q = projective twist point batch with z = 1 (the
+        add steps treat Q as affine), any batch shape broadcast against P;
+        P_affine = (xp, yp) base-field tensors (L, *batch). Returns Fp12
+        with the same batch."""
         t12, g2 = self.t12, self.g2
         xp, yp = P_affine
         batch = Q["x"].shape[2:]
@@ -183,13 +240,11 @@ class PairingEngine:
 
         def body(carry, bit):
             T, f = carry
-            # doubling step
-            terms = self._line_dbl(T, xp, yp)
-            T2 = g2.dbl(T)
+            # doubling step (group dbl + tangent line, shared rounds)
+            T2, terms = self._dbl_line(T, xp, yp)
             f2v = t12.mul_sparse(t12.sqr(f), terms)
             # addition step (unconditional compute, select by bit)
-            terms_a = self._line_add(T2, Q["x"], Q["y"], xp, yp)
-            Ta = g2.add(T2, Q)
+            Ta, terms_a = self._add_line(T2, Q["x"], Q["y"], xp, yp)
             fa = t12.mul_sparse(f2v, terms_a)
             T = g2.select(bit, Ta, T2)
             f = t12.select(bit, fa, f2v)
@@ -205,89 +260,91 @@ class PairingEngine:
             Q1 = self._psi(Q)
             Q2f = self._psi(Q1)
             nQ2 = g2.neg(Q2f)
-            terms = self._line_add(T, Q1["x"], Q1["y"], xp, yp)
+            # psi outputs are projective with z = conj(1) = 1, so the
+            # affine-Q add path stays valid for the two tail steps
+            T, terms = self._add_line(T, Q1["x"], Q1["y"], xp, yp)
             f = t12.mul_sparse(f, terms)
-            T = g2.add(T, Q1)
-            terms = self._line_add(T, nQ2["x"], nQ2["y"], xp, yp)
+            _, terms = self._add_line(T, nQ2["x"], nQ2["y"], xp, yp)
             f = t12.mul_sparse(f, terms)
         return f
 
     # ------------------------------------------------------------------
-    def final_exp(self, f):
+    def _unity_check(self, u):
+        """FE(u) == 1 without computing FE: check conj(u)^E == u^E for
+        E = (p^6+1)/r, as one 2-lane joint base-p-digit exponentiation
+        (frobenius powers g_i = u^(p^i), 64-entry subset-product table,
+        one squaring + one gathered multiply per exponent bit)."""
         t12 = self.t12
-        # easy part: f^((p^6 - 1)(p^2 + 1))
-        f = t12.mul(t12.conj_s(f), t12.inv(f))
         g = self.gamma_c
-        f = t12.mul(t12.frob(t12.frob(f, g), g), f)
-        # hard part: joint 4-digit base-p square-and-multiply, windowed:
-        # all 16 subset products of {g0..g3} are built once (11 muls), so
-        # the 254-step scan pays 1 sqr + 1 gather-mul per bit instead of
-        # the naive 1 sqr + 4 select-guarded muls (~2.4x on the verify
-        # path's dominant cost).
-        g0 = f
-        g1 = t12.frob(g0, g)
-        g2_ = t12.frob(g1, g)
-        g3 = t12.frob(g2_, g)
-        batch = f.shape[2:-1]
+        v = jnp.stack([u, t12.conj_s(u)], axis=-2)        # lane axis
+        batch = v.shape[2:-1]
+        gens = [v]
+        for _ in range(5):
+            gens.append(t12.frob(gens[-1], g))
         one = t12.one(batch)
-        # subset products in two BATCHED mul rounds (pairs, then triples +
-        # the full product) — 2 traced Fp12 muls instead of 11, keeping the
-        # unrolled graph small for CPU-test compiles
-        gl = [jnp.broadcast_to(x, one.shape) for x in (g0, g1, g2_, g3)]
+        gl = [jnp.broadcast_to(x, one.shape) for x in gens]
 
         def stk(es):
-            return jnp.stack(es, axis=-2)         # new batch axis before s
+            return jnp.stack(es, axis=-2)
 
-        p2 = t12.mul(stk([gl[0], gl[0], gl[0], gl[1], gl[1], gl[2]]),
-                     stk([gl[1], gl[2], gl[3], gl[2], gl[3], gl[3]]))
-        s01, s02, s03, s12, s13, s23 = [p2[..., i, :] for i in range(6)]
-        p3 = t12.mul(stk([s01, s01, s02, s12, s01]),
-                     stk([gl[2], gl[3], gl[3], gl[3], s23]))
-        s012, s013, s023, s123, s0123 = [p3[..., i, :] for i in range(5)]
-        tab = [one, gl[0], gl[1], s01, gl[2], s02, s12, s012,
-               gl[3], s03, s13, s013, s23, s023, s123, s0123]
-        tabs = jnp.stack(tab, axis=0)             # (16, 2, L, *batch, 6)
-        idxs = jnp.asarray(self.hard_idx)         # (nbit,)
+        pr = t12.mul(stk([gl[0], gl[0], gl[1], gl[3], gl[3], gl[4]]),
+                     stk([gl[1], gl[2], gl[2], gl[4], gl[5], gl[5]]))
+        s01, s02, s12, s34, s35, s45 = [pr[..., i, :] for i in range(6)]
+        pr2 = t12.mul(stk([s01, s34]), stk([gl[2], gl[5]]))
+        s012, s345 = pr2[..., 0, :], pr2[..., 1, :]
+        A = [one, gl[0], gl[1], s01, gl[2], s02, s12, s012]
+        B = [one, gl[3], gl[4], s34, gl[5], s35, s45, s345]
+        # full 64-entry table T[hi*8+lo] = A[lo] * B[hi], one stacked round
+        Ab = stk([A[i & 7] for i in range(64)])
+        Bb = stk([B[i >> 3] for i in range(64)])
+        tab = t12.mul(Ab, Bb)
+        tabs = jnp.moveaxis(tab, -2, 0)                   # (64, ..., 6)
+        idxs = jnp.asarray(self.unity_idx)
 
         def body(acc, i):
             acc = t12.sqr(acc)
             return t12.mul(acc, tabs[i]), None
 
         acc, _ = jax.lax.scan(body, t12.one(batch), idxs)
-        return acc
+        return t12.eq(acc[..., 0, :], acc[..., 1, :])
 
     # ------------------------------------------------------------------
     def pairing_check(self, Qa, Pa, Qb, Pb):
-        """e(Qa, Pa) == e(Qb, Pb)?  — one final exponentiation via
-        FE(m_a * conj(m_b)) == 1. Q* are projective twist point dicts
-        (batch ()), P* are projective G1 point dicts (converted to affine
-        here). Infinity inputs contribute the identity (matching oracle
-        ate()). The two Miller loops run as ONE batch-2 loop — the scan
-        body is latency-bound at these tiny shapes, so stacking the pairs
-        halves the sequential-depth cost."""
+        """e(Qa, Pa) == e(Qb, Pb)?  — no final exponentiation at all: the
+        two Miller loops run as ONE batch-2 loop (latency-bound at these
+        tiny shapes), all four projective inputs affinize through ONE
+        batched Fermat inversion, and the FE(m_a/m_b) == 1 condition is
+        decided by _unity_check. Q* are projective twist point dicts
+        (batch ()), P* are projective G1 point dicts. Infinity inputs
+        contribute the identity (matching oracle ate())."""
         t12 = self.t12
-        g1 = self.ctx.g1
+        F = self.f2.base
+        F2 = self.f2
         g2 = self.g2
         Q = {k: jnp.stack([Qa[k], Qb[k]], axis=-1) for k in ("x", "y", "z")}
         P = {k: jnp.stack([Pa[k], Pb[k]], axis=-1) for k in ("x", "y", "z")}
-        xpa, ypa, infp = g1.to_affine(P)
-        infq = g2.is_inf(Q)
-        # the Miller add-steps treat Q as an AFFINE twist point (the
-        # chord line uses (Qx, Qy) directly against projective T), so a
-        # projective Q straight out of the G2 MSM must be normalized —
-        # feeding it raw silently corrupts every line evaluation
-        qx, qy, _ = g2.to_affine(Q)
+        infp = F.is_zero(P["z"])
+        infq = F2.is_zero(Q["z"])
+        # ONE windowed Fermat chain inverts G1 z's and G2 z-norms together
+        nrm = F2._norm_val(Q["z"])                        # (L, 2)
+        zs = jnp.concatenate([P["z"], nrm], axis=-1)      # (L, 4)
+        inv4 = F.batch_inv(zs, axis=1)                    # zeros -> zero
+        zi = inv4[..., :2]
+        ni = inv4[..., 2:]
+        xp = F.mul(P["x"], zi)
+        yp = F.mul(P["y"], zi)
+        z2inv = F2.mul_base(F2.conj(Q["z"], 32), ni)      # Fp2 inverse of z
+        qx, qy = F2.mul_many([(Q["x"], z2inv), (Q["y"], z2inv)])
         Qaff = g2.from_affine(qx, qy)
         # substitute a harmless generator for degenerate inputs
         gen = self._gen2_dev()
         genb = {k: jnp.broadcast_to(v[..., None], Qaff[k].shape)
                 for k, v in gen.items()}
         Qs = g2.select(infq, genb, Qaff)
-        m = self.miller(Qs, (xpa, ypa))
+        m = self.miller(Qs, (xp, yp))
         m = t12.select(jnp.logical_or(infp, infq), t12.one((2,)), m)
         ma, mb = m[..., 0, :], m[..., 1, :]
-        v = self.final_exp(t12.mul(ma, t12.conj_s(mb)))
-        return t12.is_one(v)
+        return self._unity_check(t12.mul(ma, t12.conj_s(mb)))
 
     def _gen2_dev(self):
         if not hasattr(self, "_g2gen_cache"):

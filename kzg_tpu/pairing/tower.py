@@ -57,37 +57,44 @@ class Fp12Ops:
         return lo.at[..., :5].add(hi)
 
     def mul(self, a, b):
+        """Full 6x6 coefficient product in ONE broadcast Fp2 mul, then the
+        anti-diagonal skew sum and xi-fold. No norm16 round-trip on the
+        output: the summed limbs stay < 2^19 and the value < ~36p, inside
+        every consumer's (mul / exact-sub / select) input contract — the
+        L-step exact normalization was half the sequential cost of every
+        Fp12 op on the latency-bound verify path."""
         F2 = self.f2
         P = F2.mul(a[..., :, None], b[..., None, :])      # (2,L,*b,6,6)
         Pp = jnp.pad(P, [(0, 0)] * (P.ndim - 1) + [(0, 6)])
         flat = Pp.reshape(P.shape[:-2] + (6 * 12,))[..., : 6 * 11]
         skew = flat.reshape(P.shape[:-2] + (6, 11))
         C = jnp.sum(skew.astype(jnp.uint32), axis=-2)
-        C = self._norm(C)
         return self._fold(C)
 
     def _norm(self, x):
-        """Exact 16-bit limb normalization of both Fp components."""
+        """Exact 16-bit limb normalization of both Fp components (one
+        stacked L-step carry chain)."""
         B = self.f2.base
-        return jnp.stack([B._norm16(x[0]), B._norm16(x[1])], axis=0)
+        return jnp.moveaxis(B._norm16(jnp.moveaxis(x, 0, 1)), 1, 0)
 
     def sqr(self, a):
         return self.mul(a, a)
 
     def mul_sparse(self, f, terms):
         """f * sum_k c_k s^(pos_k) for sparse terms [(pos, c2), ...];
-        c2 shaped (2, L, *batch)."""
-        out = None
-        for pos, c in terms:
-            prod = self.f2.mul(f, c[..., None])           # (2,L,*b,6)
-            if pos == 0:
-                t = prod
-            else:
-                hi = prod[..., 6 - pos:]
-                lo = prod[..., : 6 - pos]
-                t = jnp.concatenate([self._xi_mul(hi), lo], axis=-1)
-            out = t if out is None else self.f2.add(out, t)
-        return self._norm(out)
+        c2 shaped (2, L, *batch). All terms multiply in ONE broadcast Fp2
+        mul; the static s-position shifts land in an 11-slot accumulator
+        folded once by s^6 = xi (exactly Fp12 mul's tail)."""
+        F2 = self.f2
+        cs = jnp.stack([c for _, c in terms], axis=-1)    # (2, L, *b, k)
+        prod = F2.mul(f[..., None], cs[..., None, :])     # (2, L, *b, 6, k)
+        acc = None
+        for i, (pos, _) in enumerate(terms):
+            t = prod[..., i]                              # (2, L, *b, 6)
+            nd1 = t.ndim - 1
+            sh = jnp.pad(t, [(0, 0)] * nd1 + [(pos, 5 - pos)])
+            acc = sh if acc is None else acc + sh
+        return self._fold(acc)
 
     def conj_s(self, a):
         """a^(p^6): s -> -s (negate odd coefficients)."""
