@@ -296,6 +296,12 @@ class proof(_PointWrapper):
 # trusted_setup (reference src/trusted_setup.cpp)
 # --------------------------------------------------------------------------
 
+class SetupSelfCheckError(RuntimeError):
+    """Generated setup disagrees with the exact python oracle at a probe
+    index — the compiled kernel miscompiled (round-4 toolchain findings);
+    the generator falls back to the bit-scan path or fails loudly."""
+
+
 class trusted_setup:
     def __init__(self, arg):
         pc = _ctx()
@@ -369,7 +375,7 @@ class trusted_setup:
     #    Generation therefore ALWAYS spot-checks against the exact python
     #    oracle and falls back / fails loudly rather than returning a
     #    corrupt setup.
-    COMB_MIN_TERMS = 1024
+    COMB_MIN_TERMS = 128
 
     def _generate(self, s: int, num_coeff: int):
         pc = self._pc
@@ -389,8 +395,12 @@ class trusted_setup:
                 self._gen_comb(byte_mat, num_coeff)
                 self._check_setup(s, num_coeff)
                 return
-            except RuntimeError:
-                self._init_caches()        # fall through to the scan path
+            except SetupSelfCheckError:
+                # ONLY the oracle self-check falls through to the scan
+                # path; infra errors (JaxRuntimeError is a RuntimeError
+                # subclass — a crashed TPU worker used to be swallowed
+                # here and re-crashed inside the fallback) propagate
+                self._init_caches()
         self._gen_scan(byte_mat, num_coeff)
         self._check_setup(s, num_coeff, final=True)
 
@@ -400,29 +410,68 @@ class trusted_setup:
     def _chk_idx(num_coeff):
         return np.array([0, 1, num_coeff - 1], dtype=np.int32)
 
+    # comb generation runs in fixed-width column chunks: ONE compiled
+    # executable per (group, chunk width) reused across chunks and setup
+    # sizes. Bounds the XLA memory plan (the whole-n G2 comb at n=5000
+    # nondeterministically scheduled itself into a 25 GB HBM plan —
+    # round-5 compile OOM) and caps compile cost at two shapes.
+    COMB_CHUNKS = (128, 1024)
+
     def _gen_comb(self, byte_mat, num_coeff):
         pc = self._pc
         digits = byte_mat.T.astype(np.uint32)            # (W, n)
         wt1, wt2 = pc.comb_tables()
         g1c, g2c = pc.ctx.g1, pc.ctx.g2
-        idx = self._chk_idx(num_coeff)
+        W = digits.shape[0]
+        chunk = self.COMB_CHUNKS[0] if num_coeff <= 512 \
+            else self.COMB_CHUNKS[-1]
+        npad = -(-num_coeff // chunk) * chunk
+        if npad != num_coeff:
+            # zero digits gather the d=0 (infinity) comb rows — harmless
+            digits = np.concatenate(
+                [digits, np.zeros((W, npad - num_coeff), np.uint32)], axis=1)
 
         def mk(grp, wt):
-            def f(d):
-                P = grp.mul_digits_table(d, wt)
-                sl = {k: v[..., idx] for k, v in P.items()}
-                return P, grp.affine_packed(sl)
-            return f
+            # two jits, not one: compiled together the G2 half miscompiles
+            return pc.jit(("setupgen", grp.name, chunk),
+                          lambda d: grp.mul_digits_table(d, wt),
+                          fused=False)
 
-        # two jits, not one: compiled together the G2 half miscompiles
-        fn1 = pc.jit(("setupgen1", num_coeff), mk(g1c, wt1), fused=False)
-        fn2 = pc.jit(("setupgen2", num_coeff), mk(g2c, wt2), fused=False)
-        dj = jnp.asarray(digits)
-        P1, pk1 = fn1(dj)
-        P2, pk2 = fn2(dj)
-        self._g1_dev, self._g2_dev = P1, P2
-        self._chk1 = g1c.unpack_affine(np.asarray(jax.device_get(pk1)))
-        self._chk2 = g2c.unpack_affine(np.asarray(jax.device_get(pk2)))
+        fn1, fn2 = mk(g1c, wt1), mk(g2c, wt2)
+        p1s, p2s = [], []
+        for c0 in range(0, npad, chunk):
+            dj = jnp.asarray(digits[:, c0:c0 + chunk])
+            p1s.append(fn1(dj))
+            p2s.append(fn2(dj))
+
+        def cat(ps):
+            return {k: jnp.concatenate([p[k] for p in ps], axis=-1)
+                    [..., :num_coeff] for k in ("x", "y", "z")}
+
+        self._g1_dev = cat(p1s)
+        self._g2_dev = cat(p2s)
+        self._load_chk(num_coeff)
+
+    def _load_chk(self, num_coeff):
+        """Download the 3 oracle-probe points (one packed transfer per
+        group) from the device-resident setup."""
+        pc = self._pc
+        g1c, g2c = pc.ctx.g1, pc.ctx.g2
+        idx = self._chk_idx(num_coeff)
+
+        def f(P1, P2):
+            s1 = {k: v[..., idx] for k, v in P1.items()}
+            s2 = {k: v[..., idx] for k, v in P2.items()}
+            # ONE packed tensor -> one device->host round trip
+            return jnp.concatenate(
+                [g1c.affine_packed(s1), g2c.affine_packed(s2)], axis=0)
+
+        pk = pc.jit(("setupchk", num_coeff), f, fused=False)(
+            self._g1_dev, self._g2_dev)
+        arr = np.asarray(jax.device_get(pk))
+        n1 = 2 * pc.ctx.fp.L + 1
+        self._chk1 = g1c.unpack_affine(arr[:n1])
+        self._chk2 = g2c.unpack_affine(arr[n1:])
 
     def _gen_scan(self, byte_mat, num_coeff):
         pc = self._pc
@@ -433,21 +482,15 @@ class trusted_setup:
         g1c, g2c = pc.ctx.g1, pc.ctx.g2
         tb1 = {k: v[:nb] for k, v in t1.items()}
         tb2 = {k: v[:nb] for k, v in t2.items()}
-        idx = self._chk_idx(num_coeff)
-
         def f(b):
-            P1 = g1c.mul_bits_table(b, tb1)
-            P2 = g2c.mul_bits_table(b, tb2)
-            s1 = {k: v[..., idx] for k, v in P1.items()}
-            s2 = {k: v[..., idx] for k, v in P2.items()}
-            return P1, P2, g1c.affine_packed(s1), g2c.affine_packed(s2)
+            return (g1c.mul_bits_table(b, tb1),
+                    g2c.mul_bits_table(b, tb2))
 
         fn = pc.jit(("setupscan", num_coeff), f,
                     fused=False)   # scan body fuses whole adds already
-        P1, P2, pk1, pk2 = fn(jnp.asarray(bits))
+        P1, P2 = fn(jnp.asarray(bits))
         self._g1_dev, self._g2_dev = P1, P2
-        self._chk1 = g1c.unpack_affine(np.asarray(jax.device_get(pk1)))
-        self._chk2 = g2c.unpack_affine(np.asarray(jax.device_get(pk2)))
+        self._load_chk(num_coeff)
 
     def _check_setup(self, s: int, num_coeff: int, final: bool = False):
         pc = self._pc
@@ -456,7 +499,7 @@ class trusted_setup:
             e = pow(s, int(i), r)
             if self._chk1[j] != pc.og1.mul(e, pc.og1.gen) or \
                self._chk2[j] != pc.og2.mul(e, pc.og2.gen):
-                raise RuntimeError(
+                raise SetupSelfCheckError(
                     "trusted_setup generation self-check failed at index "
                     f"{i} (n={num_coeff}"
                     f"{', fallback path' if final else ''}): compiled "

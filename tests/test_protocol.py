@@ -280,6 +280,34 @@ def test_high_poly_degree(bn254):
 
 
 @pytest.mark.parametrize("curve", ["BN158", "BLS12381"])
+def test_cross_curve_commit_default(curve):
+    """Default-gate cross-curve coverage: a tiny setup + blob + commit +
+    chunked-proof roundtrip on each non-default curve (VERDICT r4 item 7:
+    the default suite previously never touched BN158/BLS12-381 at all).
+    The pairing verify stays in the slow variant below — its per-curve
+    compile dominates a fresh-cache CI run."""
+    kzg.init(curve)
+    try:
+        ts = kzg.trusted_setup.from_secret(SECRET + 9, 8)
+        p = kzg.poly.from_blob(kzg.blob.from_string("hey!"))
+        c = ts.create_commit(p)
+        assert ts.verify_commit(c, p)
+        pr = ts.create_proof(p, 1, 2)
+        assert isinstance(pr.serialize(), bytes)
+        # commit against the oracle: s-power MSM of the interpolant
+        from kzg_tpu.refmodel.model import G1 as _OG1
+        og = _OG1(ts._pc.cp)
+        r = ts._pc.cp.r
+        s = (SECRET + 9) % r
+        acc = 0
+        for i, cf in enumerate(p.coeffs):
+            acc = (acc + cf * pow(s, i, r)) % r
+        assert c.curve_point == og.mul(acc, og.gen)
+    finally:
+        kzg.init("BN254")
+
+
+@pytest.mark.parametrize("curve", ["BN158", "BLS12381"])
 @pytest.mark.slow
 def test_cross_curve(curve):
     """The reference exercises BN158/BLS12-381 only via its benchmark
