@@ -126,6 +126,36 @@ def main():
             out.append(f"| {rw['devices']} | {rw['per_device_coeffs']} | "
                        f"{rw['time_ms']} | x{rw['overhead_vs_D1']} |")
         out.append("")
+        if d.get("weak_rows"):
+            out += ["Weak scaling (coeffs/device fixed; ideal on a "
+                    "timeshared virtual mesh is time ∝ D, i.e. "
+                    "T/(D·T1) = 1):", "",
+                    "| Devices | total n | time ms | T/(D·T1) |",
+                    "|---|---|---|---|"]
+            for rw in d["weak_rows"]:
+                out.append(f"| {rw['devices']} | {rw['n']} | "
+                           f"{rw['time_ms']} | x{rw['time_over_ideal']} |")
+            out.append("")
+    stg = os.path.join(RESULTS, "stage_times.json")
+    if os.path.exists(stg):
+        d = json.load(open(stg))
+        out += [f"## Stage latencies (BN254, setup {d['setup_terms']}, "
+                f"degree {d['degree']}, {d['platform']})", "",
+                "Median warm per-stage jit latencies. `*_e2e` rows run the "
+                "production fused pipeline; standalone stage rows labelled "
+                "`(unfused)` were compiled without the Pallas per-mul "
+                "fuser and show the raw-XLA cost, not the in-pipeline "
+                "share.", "",
+                "| Stage | ms |", "|---|---|"]
+        unfused = {"commit_msm_only_ms", "commit_msm_affine_ms",
+                   "proof_polyops_ms", "proof_multieval_ms",
+                   "verify_math_ms", "verify_g2msm_ms"}
+        for k, v in d.items():
+            if k in ("setup_terms", "degree", "platform"):
+                continue
+            lbl = k + (" (unfused)" if k in unfused else "")
+            out.append(f"| {lbl} | {v} |")
+        out.append("")
     roof = os.path.join(RESULTS, "roofline.json")
     if os.path.exists(roof):
         d = json.load(open(roof))

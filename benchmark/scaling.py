@@ -120,6 +120,37 @@ def main():
         print(f"D={D}: {dt*1e3:9.1f} ms  shard={n//D:6d} coeffs/dev  "
               f"overhead x{dt/t_base:.3f}  exact={exact}", flush=True)
 
+    # ---- weak scaling: n per device fixed, total work grows with D ----
+    Ds = [int(x) for x in args.meshes.split(",")
+          if int(x) <= len(jax.devices())]
+    per_dev = n // max(Ds)
+    weak_rows = []
+    tw_base = None
+    for D in Ds:
+        nw = per_dev * D
+        mesh = global_mesh(max_devices=D)
+        run = jax.jit(sharded_msm(eng, mesh))
+        sw = sraw[..., :nw]
+        pw = {k: v[..., :nw] for k, v in pts.items()}
+        out = run(sw, pw)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(args.iters):
+            out = run(sw, pw)
+            jax.block_until_ready(out)
+        dt = (time.time() - t0) / args.iters
+        if tw_base is None:
+            tw_base = dt
+        # virtual mesh: devices timeshare cores, so ideal weak scaling is
+        # time ∝ D; the efficiency metric is T(D) / (D * T(1))
+        weak_rows.append({
+            "devices": D, "n": nw, "per_device_coeffs": per_dev,
+            "time_ms": round(dt * 1e3, 1),
+            "time_over_ideal": round(dt / (D * tw_base), 3),
+        })
+        print(f"weak D={D}: n={nw:6d} {dt*1e3:9.1f} ms  "
+              f"T/(D*T1) x{dt/(D*tw_base):.3f}", flush=True)
+
     result = {
         "curve": args.curve, "n": n, "strategy": strat,
         "backend": jax.default_backend(),
@@ -129,6 +160,7 @@ def main():
                  "the sharding cost a real pod would add on top of "
                  "T_compute(n/D)"),
         "rows": rows,
+        "weak_rows": weak_rows,
     }
     if args.out:
         os.makedirs(os.path.dirname(args.out), exist_ok=True)

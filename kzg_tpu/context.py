@@ -18,10 +18,13 @@ import jax
 # remote TPU compile service).
 _cache_dir = os.environ.get(
     "KZG_TPU_JAX_CACHE", os.path.expanduser("~/.cache/kzg_tpu_jax"))
+if _cache_dir in ("", "0", "off"):
+    _cache_dir = None          # KZG_TPU_JAX_CACHE=off disables persistence
 try:
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    if _cache_dir is not None:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 except Exception:                                          # pragma: no cover
     pass
 

@@ -7,12 +7,13 @@ import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"          # current spelling
 os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")  # legacy spelling
-# Own persistent-cache dir: sharing ~/.cache/kzg_tpu_jax with concurrent
-# TPU processes produced a segfault inside the cache writer
-# (compilation_cache.put_executable_and_time / zstandard) mid-suite.
-os.environ.setdefault(
-    "KZG_TPU_JAX_CACHE",
-    os.path.expanduser("~/.cache/kzg_tpu_jax_cputests"))
+# Persistent compile cache OFF for tests: the cache writer segfaults
+# deterministically while serializing the largest executables (the fused
+# verify jit) on this jax build — put_executable_and_time ->
+# executable.serialize() — and stale entries compiled on a different host
+# microarch are a SIGILL risk after sandbox migration. Stability over
+# warm-start speed here; override by exporting KZG_TPU_JAX_CACHE.
+os.environ.setdefault("KZG_TPU_JAX_CACHE", "off")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
