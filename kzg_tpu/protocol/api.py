@@ -319,6 +319,7 @@ class trusted_setup:
 
     def _init_caches(self):
         self._shift1 = None          # cached shifted G1 bases (device)
+        self._shift2 = None          # cached shifted G2 bases (verify)
         self._g1_dev = None          # projective device points (generated
         self._g2_dev = None          #   setups stay on-chip end to end)
         self._g1_host = None         # affine int lists (lazy: export/tests)
@@ -525,6 +526,18 @@ class trusted_setup:
             self._shift1 = fn(self._g1_points_dev())
         return self._shift1
 
+    def _shifted2(self):
+        """Window-shifted G2 setup bases (built lazily on first verify —
+        lets verify's Z(s)G2 MSM run as independent per-window buckets
+        instead of the Horner ladder's ~W*(8 dbl + add) sequential chain,
+        the dominant latency of the old verify math stage)."""
+        if self._shift2 is None:
+            pc = self._pc
+            fn = pc.jit(("shift2", self._n),
+                        pc.ctx.msm_g2.precompute_shifted)
+            self._shift2 = fn(self._g2_points_dev())
+        return self._shift2
+
     def _unpack1(self, packed_dev):
         """Packed-affine device tensor -> one affine int point (ONE
         device->host transfer; jax.device_get of a multi-leaf point dict
@@ -643,17 +656,19 @@ class trusted_setup:
         pr_raw = self._pack_g1_host(pr.curve_point)
         pe = pc.poly
         g1eng, g2eng = pc.ctx.msm_g1, pc.ctx.msm_g2
-        g1d = self._g1_points_dev()
-        g2d = self._g2_points_dev()
+        sh1 = self._shifted1()
+        sh2 = self._shifted2()
         pairing = pc.pairing_engine()
         g2gen = pc.g2gen_dev()
         g1c = pc.ctx.g1
 
         # ONE compiled stage end-to-end: interpolant + vanishing + both
-        # MSMs + the full pairing equality check (reference: two ate
-        # pairings + final exps, trusted_setup.cpp:241-253). One dispatch,
-        # one scalar readback.
-        def fn(ysr, offr, cmr, prr, g1dd, g2dd):
+        # MSMs (shifted-base Pippenger — per-window independence instead
+        # of the Horner ladder's ~W*(8 dbl + add) sequential chain) + the
+        # full pairing equality check (reference: two ate pairings + final
+        # exps, trusted_setup.cpp:241-253). One dispatch, one scalar
+        # readback.
+        def fn(ysr, offr, cmr, prr, g1sh, g2sh):
             ysd = fr.to_mont(ysr)
             om = fr.to_mont(offr)[..., 0]
             cm0 = self._unpack_g1_jit(cmr)
@@ -662,16 +677,16 @@ class trusted_setup:
             Z = pe.vanishing(om, k)
             Iraw = fr.canon(fr.from_mont(I))
             Zraw = fr.canon(fr.from_mont(Z))
-            g1s = {kk: v[..., :k] for kk, v in g1dd.items()}
-            g2s = {kk: v[..., :k + 1] for kk, v in g2dd.items()}
-            zc = g2eng.msm(Zraw, g2s)
-            ic = g1eng.msm(Iraw, g1s)
+            g1s = {kk: v[..., :k] for kk, v in g1sh.items()}
+            g2s = {kk: v[..., :k + 1] for kk, v in g2sh.items()}
+            zc = g2eng.msm_shifted(Zraw, g2s)
+            ic = g1eng.msm_shifted(Iraw, g1s)
             p2 = g1c.add(g1c.neg(ic), cm0)
             ok = pairing.pairing_check(zc, pr0, g2gen, p2)
             return ok.astype(jnp.uint32)
 
         out = pc.jit(("verify", k, self._n), fn)(
-            ys_raw, off_raw, cm_raw, pr_raw, g1d, g2d)
+            ys_raw, off_raw, cm_raw, pr_raw, sh1, sh2)
         return bool(int(jax.device_get(out)))
 
     def _pack_g1_host(self, point):
